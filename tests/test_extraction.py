@@ -1,0 +1,68 @@
+"""Extraction invariants — the per-turn text-equality contract
+(/root/reference/tests/test_ner.py:117-190 analog; BASELINE.json
+input_hint)."""
+
+from pyspark.sql import functions as F
+
+from t_res_spark.operators.extraction import (
+    extract_mentions,
+    extract_mentions_from_text,
+)
+from t_res_spark.sources.tables import read_fixture
+
+
+def test_guards():
+    # short-turn guard (recogniser.py:369-371)
+    assert extract_mentions_from_text("a") == []
+    assert extract_mentions_from_text("") == []
+    assert extract_mentions_from_text(None) == []
+    # OCR garbage golden (tests/test_pipeline.py:85-90)
+    assert extract_mentions_from_text(" • - ST G pOllO-P• FERRIS - • - , i ") == []
+
+
+def test_shapes():
+    assert extract_mentions_from_text("we saw New York City then") == [
+        ("New York City", 7, 20)
+    ]
+    assert extract_mentions_from_text("near Ashton-under-Lyne today") == [
+        ("Ashton-under-Lyne", 5, 22)
+    ]
+    assert extract_mentions_from_text("the Isle of Wight ferry") == [
+        ("Isle of Wight", 4, 17)
+    ]
+    # n-dash split (recogniser.py:374-379)
+    assert extract_mentions_from_text("Plymouth—Kingston line") == [
+        ("Plymouth", 0, 8),
+        ("Kingston", 9, 17),
+    ]
+    # sanity filter: single char + all-lowercase dropped (pipeline.py:618)
+    assert extract_mentions_from_text("to salop and X marks") == []
+
+
+def test_text_equality_invariant_spark(spark, tiny_dir):
+    """end_char - start_char == len(mention) and
+    substring(text, start+1, len) == mention, under stable
+    (conv_id, turn_idx) ordering — tests/test_ner.py:147-153 analog."""
+    transcripts = read_fixture(spark, tiny_dir, "transcripts")
+    mentions = extract_mentions(transcripts)
+    joined = mentions.join(transcripts, ["conv_id", "turn_idx"])
+    bad = joined.filter(
+        (F.col("end_char") - F.col("start_char") != F.length("mention"))
+        | (
+            F.expr("substring(text, start_char + 1, end_char - start_char)")
+            != F.col("mention")
+        )
+    )
+    assert bad.count() == 0
+    assert mentions.count() > 0
+
+
+def test_extraction_matches_planted(spark, tiny_dir):
+    transcripts = read_fixture(spark, tiny_dir, "transcripts")
+    planted = read_fixture(spark, tiny_dir, "planted")
+    got = extract_mentions(transcripts).select(
+        "conv_id", "turn_idx", "mention", "start_char", "end_char"
+    )
+    want = planted.select("conv_id", "turn_idx", "mention", "start_char", "end_char")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

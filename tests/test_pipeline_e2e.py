@@ -1,0 +1,74 @@
+"""End-to-end golden-cluster tests: the distributed pipeline must match
+the single-process oracle exactly, and hit pairwise F1 >= 0.99 on the
+generator's planted ground truth (BASELINE.json metric)."""
+
+import pandas as pd
+import pytest
+
+from t_res_spark import datagen, oracle
+from t_res_spark.plans.pipeline import PipelineConfig, resolve
+from t_res_spark.sources.tables import CheckpointCatalog, read_fixture
+
+
+def _spark_clusters(spark, fixture_dir, catalog=None):
+    transcripts = read_fixture(spark, fixture_dir, "transcripts")
+    aliases = read_fixture(spark, fixture_dir, "aliases")
+    res = resolve(spark, transcripts, aliases, config=PipelineConfig(), catalog=catalog)
+    return res
+
+
+def test_e2e_matches_oracle_tiny(spark, tiny_fx, tiny_dir):
+    res = _spark_clusters(spark, tiny_dir)
+    got = {
+        r["mention_id"]: (r["prediction"], r["cluster_id"])
+        for r in res.clusters.select("mention_id", "prediction", "cluster_id").collect()
+    }
+    orc = oracle.resolve_oracle(tiny_fx)
+    want = {
+        r.mention_id: (r.prediction, r.cluster_id) for r in orc.itertuples()
+    }
+    assert got == want
+
+
+def test_pairwise_f1_against_planted_truth(spark, tiny_fx, tiny_dir):
+    res = _spark_clusters(spark, tiny_dir)
+    clusters = res.clusters.select("mention_id", "cluster_id").toPandas()
+    stats = oracle.pairwise_f1(clusters, tiny_fx.labeled_pairs)
+    assert stats["f1"] >= 0.99, stats
+
+
+def test_resume_from_checkpoint(spark, tiny_dir, tmp_path):
+    """Kill-between-stages resumability (experiment.py:133-157 analog):
+    a catalog-backed run persists stage tables; a second run must reuse
+    them (same config hash) and produce identical clusters."""
+    cat = CheckpointCatalog(spark, str(tmp_path / "ckpt"))
+    r1 = _spark_clusters(spark, tiny_dir, catalog=cat)
+    c1 = sorted(map(tuple, r1.clusters.select("mention_id", "cluster_id").collect()))
+    assert cat.exists("mentions", _cfg_hash()) and cat.exists("clusters", _cfg_hash())
+    # resume: stage tables exist → read, not recompute
+    cat2 = CheckpointCatalog(spark, str(tmp_path / "ckpt"))
+    r2 = _spark_clusters(spark, tiny_dir, catalog=cat2)
+    c2 = sorted(map(tuple, r2.clusters.select("mention_id", "cluster_id").collect()))
+    assert c1 == c2
+
+
+def _cfg_hash():
+    from t_res_spark.sources.tables import config_hash
+
+    return config_hash(PipelineConfig().as_dict())
+
+
+def test_metrics_table(spark, tiny_dir):
+    res = _spark_clusters(spark, tiny_dir)
+    m = res.metrics.toPandas()
+    assert m["rows"].sum() > 0
+    assert (m["clusters"] > 0).any()
+
+
+@pytest.mark.slow
+def test_e2e_matches_oracle_small(spark, small_dir):
+    fx = datagen.generate(seed=42, **datagen.SCALES["small"])
+    res = _spark_clusters(spark, small_dir)
+    clusters = res.clusters.select("mention_id", "cluster_id").toPandas()
+    stats = oracle.pairwise_f1(clusters, fx.labeled_pairs)
+    assert stats["f1"] >= 0.99, stats
