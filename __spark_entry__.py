@@ -340,6 +340,105 @@ def q_opt_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_j6_align_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — pred↔gold span alignment by max char overlap (range join +
+    window, experiment.py:404-416). Spans derived from lineitem line
+    numbers; every arithmetic is integer."""
+    from t_res_spark.operators.alignment import align_spans
+
+    _register(spark, sf_dir)
+    pred = spark.sql(
+        """
+        SELECT CAST(l_orderkey AS STRING) AS conv_id, 0 AS turn_idx,
+               'p' || CAST(l_linenumber AS STRING) AS mention,
+               l_linenumber * 10 AS start_char,
+               l_linenumber * 10 + 8 AS end_char
+        FROM lineitem WHERE l_linenumber <= 3
+        """
+    )
+    gold = spark.sql(
+        """
+        SELECT CAST(l_orderkey AS STRING) AS conv_id, 0 AS turn_idx,
+               'g' || CAST(l_linenumber AS STRING) AS gold_mention,
+               l_linenumber * 10 + CAST(l_partkey % 6 AS INT) AS gold_start,
+               l_linenumber * 10 + CAST(l_partkey % 6 AS INT) + 7 AS gold_end,
+               'Q' || CAST(l_partkey AS STRING) AS gold_qid
+        FROM lineitem WHERE l_linenumber <= 2
+        """
+    )
+    return align_spans(pred, gold).select(
+        "conv_id", "mention", "start_char", "gold_mention", "gold_qid", "overlap_chars"
+    )
+
+
+def q_a6_cross_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — min-max rescale + ratio-over-sum per mention
+    (entity_disambiguation.py:432-457). Scores are multiples of 256 so
+    every rescaled quotient and sum is an exact binary fraction."""
+    from t_res_spark.operators.alignment import cross_cand_normalize
+
+    _register(spark, sf_dir)
+    scored = spark.sql(
+        f"""
+        SELECT mention, qid,
+               CAST((CAST(regexp_extract(qid, 'Q(\\\\d+)', 1) AS INT) % 4) * 256 AS DOUBLE)
+                 AS raw_score
+        FROM (SELECT DISTINCT mention, qid FROM ({CANDIDATES_SQL}))
+        """
+    )
+    return cross_cand_normalize(scored).select("mention", "qid", "norm_score")
+
+
+def q_w8_alias_casing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 — lowercase-dedup keeping the casing with most entities
+    (deezy_processing.py:346-368)."""
+    from t_res_spark.operators.alignment import dedup_alias_casing
+
+    _register(spark, sf_dir)
+    cased = spark.sql(
+        """
+        SELECT CASE CAST(c_custkey % 3 AS INT)
+                 WHEN 0 THEN lower(n_name)
+                 WHEN 1 THEN upper(n_name)
+                 ELSE n_name
+               END AS alias,
+               'Q' || CAST(CAST(c_custkey % 40 AS INT) AS STRING) AS qid
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """
+    ).distinct()
+    return dedup_alias_casing(cased).select("alias", "qid")
+
+
+def q_a7_pairwise_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — the distributed pairwise-F1 evaluator (the BASELINE.json
+    metric; counting shape of entity_disambiguation.py:1074-1104).
+    Clusters come from exact-match most-popular predictions; labeled
+    pairs are consecutive customers with truth = same nation."""
+    from t_res_spark.operators.alignment import evaluate_pairwise_f1
+    from t_res_spark.operators.linking import most_popular
+
+    _register(spark, sf_dir)
+    mentions = _mentions_df(spark)
+    preds = most_popular(_candidates_df(spark))
+    clusters = (
+        mentions.join(preds, "mention", "inner")
+        .select(
+            F.col("mention_id").cast("string").alias("mention_id"),
+            F.col("prediction").alias("cluster_id"),
+        )
+    )
+    pairs = spark.sql(
+        """
+        SELECT 'k' AS block_key,
+               CAST(a.c_custkey AS STRING) AS mention_id_a,
+               CAST(b.c_custkey AS STRING) AS mention_id_b,
+               a.c_nationkey = b.c_nationkey AS same_entity
+        FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+        """
+    )
+    return evaluate_pairwise_f1(clusters, pairs)
+
+
 # ---------------------------------------------------------------------------
 # dedup / text-analysis / similarity-search queries
 # ---------------------------------------------------------------------------
@@ -539,6 +638,24 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, dim=dim, k=10)
 
 
+def q_ctx_disambiguate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML4/ML5 analog — per-conversation applyInPandas coherence loop
+    (document = group = minibatch, entity_disambiguation.py:222,507;
+    LBP constants mulrel_ranker.py:403-421) → rows-only."""
+    from t_res_spark.operators.context import context_disambiguate
+
+    _register(spark, sf_dir)
+    mentions = spark.sql(
+        f"""
+        SELECT 'conv' || CAST(CAST(floor(mention_id / 8) AS BIGINT) AS STRING) AS conv_id,
+               CAST(mention_id AS STRING) AS mention_id,
+               mention
+        FROM ({MENTIONS_SQL})
+        """
+    )
+    return context_disambiguate(mentions, _candidates_df(spark))
+
+
 def q_mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing — binary payload → feature extraction via
     mapInPandas (deterministic stub decode → rows-only)."""
@@ -582,6 +699,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_edges_star": q_m4_edges_star,
         "j12_anti_join_cache": q_j12_anti_join_cache,
         "opt_salted_agg": q_opt_salted_agg,
+        "j6_align_spans": q_j6_align_spans,
+        "a6_cross_norm": q_a6_cross_norm,
+        "w8_alias_casing": q_w8_alias_casing,
+        "a7_pairwise_f1": q_a7_pairwise_f1,
         "d1_exact_dedup": q_d1_exact_dedup,
         "d4_word_jaccard": q_d4_word_jaccard,
         "t1_langid": q_t1_langid,
@@ -591,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_embedding_topk": q_s6_embedding_topk,
         # rows-only (non-SQL-expressible)
         "er_clusters": q_er_clusters,
+        "ctx_disambiguate": q_ctx_disambiguate,
         "d2_minhash_clusters": q_d2_minhash_clusters,
         "d3_simhash": q_d3_simhash,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -727,6 +849,122 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, count(*) AS n_orders,
                    sum(o_orderkey) AS sum_orderkey
             FROM orders GROUP BY o_custkey
+        """,
+        "j6_align_spans": """
+            WITH pred AS (
+              SELECT CAST(l_orderkey AS STRING) AS conv_id, 0 AS turn_idx,
+                     'p' || CAST(l_linenumber AS STRING) AS mention,
+                     l_linenumber * 10 AS start_char,
+                     l_linenumber * 10 + 8 AS end_char
+              FROM lineitem WHERE l_linenumber <= 3
+            ), gold AS (
+              SELECT CAST(l_orderkey AS STRING) AS conv_id, 0 AS turn_idx,
+                     'g' || CAST(l_linenumber AS STRING) AS gold_mention,
+                     l_linenumber * 10 + CAST(l_partkey % 6 AS INT) AS gold_start,
+                     l_linenumber * 10 + CAST(l_partkey % 6 AS INT) + 7 AS gold_end,
+                     'Q' || CAST(l_partkey AS STRING) AS gold_qid
+              FROM lineitem WHERE l_linenumber <= 2
+            )
+            SELECT conv_id, mention, start_char, gold_mention, gold_qid,
+                   COALESCE(greatest(overlap, 0), 0) AS overlap_chars
+            FROM (
+              SELECT p.conv_id, p.mention, p.start_char, g.gold_mention,
+                     g.gold_qid, g.gold_start,
+                     least(p.end_char, g.gold_end)
+                       - greatest(p.start_char, g.gold_start) AS overlap,
+                     row_number() OVER (
+                       PARTITION BY p.conv_id, p.turn_idx, p.start_char
+                       ORDER BY least(p.end_char, g.gold_end)
+                                  - greatest(p.start_char, g.gold_start) DESC,
+                                g.gold_start ASC, g.gold_qid ASC) AS rn
+              FROM pred p LEFT JOIN gold g
+                ON p.conv_id = g.conv_id AND p.turn_idx = g.turn_idx
+               AND p.start_char < g.gold_end AND g.gold_start < p.end_char
+            ) WHERE rn = 1
+        """,
+        "a6_cross_norm": f"""
+            WITH s AS (
+              SELECT mention, qid,
+                     CAST((CAST(regexp_extract(qid, 'Q(\\d+)', 1) AS INT) % 4) * 256
+                          AS DOUBLE) AS raw_score
+              FROM (SELECT DISTINCT mention, qid FROM ({CANDIDATES_SQL}))
+            ), r AS (
+              SELECT mention, qid, raw_score,
+                     min(raw_score) OVER (PARTITION BY mention) AS mn,
+                     max(raw_score) OVER (PARTITION BY mention) AS mx
+              FROM s
+            ), resc AS (
+              SELECT mention, qid,
+                     CASE WHEN mx > mn THEN (raw_score - mn) / (mx - mn)
+                          ELSE 0.0 END AS resc
+              FROM r
+            )
+            SELECT mention, qid,
+                   CASE WHEN total > 0 THEN resc / total ELSE 0.0 END AS norm_score
+            FROM (SELECT mention, qid, resc,
+                         sum(resc) OVER (PARTITION BY mention) AS total
+                  FROM resc)
+        """,
+        "w8_alias_casing": """
+            WITH cased AS (
+              SELECT DISTINCT
+                     CASE CAST(c_custkey % 3 AS INT)
+                       WHEN 0 THEN lower(n_name)
+                       WHEN 1 THEN upper(n_name)
+                       ELSE n_name
+                     END AS alias,
+                     'Q' || CAST(CAST(c_custkey % 40 AS INT) AS STRING) AS qid
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+            ), counts AS (
+              SELECT alias, count(DISTINCT qid) AS n FROM cased GROUP BY alias
+            ), keep AS (
+              SELECT alias FROM (
+                SELECT alias,
+                       row_number() OVER (PARTITION BY lower(alias)
+                                          ORDER BY n DESC, alias ASC) AS rn
+                FROM counts
+              ) WHERE rn = 1
+            )
+            SELECT c.alias, c.qid FROM cased c JOIN keep k ON c.alias = k.alias
+        """,
+        "a7_pairwise_f1": f"""
+            WITH preds AS (
+              SELECT mention, qid AS prediction FROM (
+                SELECT mention, qid,
+                       row_number() OVER (PARTITION BY mention
+                                          ORDER BY abs_relv DESC, qid ASC,
+                                                   variation ASC) AS rn
+                FROM ({CANDIDATES_SQL})
+              ) WHERE rn = 1
+            ), clusters AS (
+              SELECT CAST(m.mention_id AS STRING) AS mention_id,
+                     p.prediction AS cluster_id
+              FROM ({MENTIONS_SQL}) m JOIN preds p ON m.mention = p.mention
+            ), pairs AS (
+              SELECT CAST(a.c_custkey AS STRING) AS ida,
+                     CAST(b.c_custkey AS STRING) AS idb,
+                     a.c_nationkey = b.c_nationkey AS same_entity
+              FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+            ), scored AS (
+              SELECT (ca.cluster_id IS NOT NULL AND cb.cluster_id IS NOT NULL
+                      AND ca.cluster_id = cb.cluster_id) AS pred_same,
+                     p.same_entity
+              FROM pairs p
+              LEFT JOIN clusters ca ON p.ida = ca.mention_id
+              LEFT JOIN clusters cb ON p.idb = cb.mention_id
+            ), agg AS (
+              SELECT
+                CAST(sum(CASE WHEN pred_same AND same_entity THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN pred_same AND NOT same_entity THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN NOT pred_same AND same_entity THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                CAST(sum(CASE WHEN NOT pred_same AND NOT same_entity THEN 1 ELSE 0 END) AS BIGINT) AS tn
+              FROM scored
+            )
+            SELECT tp, fp, fn, tn,
+                   tp / greatest(tp + fp, 1) AS precision,
+                   tp / greatest(tp + fn, 1) AS recall,
+                   2 * tp / greatest(2 * tp + fp + fn, 1) AS f1
+            FROM agg
         """,
         "d1_exact_dedup": """
             SELECT doc_id, dup_group, doc_id = dup_group AS is_canonical FROM (

@@ -1,0 +1,139 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Headline = the full ER pipeline (extract → block → score → link →
+CC-cluster) over transcripts derived from the documents table, amplified
+by TRES_BENCH_TURNS_FACTOR (default 16) turns per document so the input
+is a real multi-turn corpus (sf0.1 → 80k turns). Also reports turns/sec
+for the scaling-efficiency comparison in BENCH/BASELINE.md (run
+tools/bench_scaling.py for the local[8] vs local[32] evidence).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+TURNS_FACTOR = int(os.environ.get("TRES_BENCH_TURNS_FACTOR", "16"))
+
+
+def derived_transcripts_amplified(spark: SparkSession, sf_dir: str, factor: int):
+    """documents × factor turns → transcripts(conv_id, turn_idx, role,
+    text, tool, ts) with one planted proper-noun mention per turn,
+    rotated so turn variants differ."""
+    import __spark_entry__ as entry_mod
+
+    entry_mod._register(spark, sf_dir)
+    # Repartition the scan BEFORE the ×factor fan-out: the documents
+    # parquet has 1-2 row groups, and exploding/text-building inside
+    # those tasks would serialize the whole derivation (and the shuffle
+    # write) onto 1-2 cores. Real ingest has thousands of splits.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.table("documents").repartition(n_part).createOrReplaceTempView(
+        "documents_rp"
+    )
+    df = spark.sql(
+        f"""
+        SELECT 'conv' || CAST(d.doc_id AS STRING) AS conv_id,
+               t.turn_idx,
+               CASE CAST(t.turn_idx % 3 AS INT) WHEN 0 THEN 'user'
+                    WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+               substr(d.text, 1 + (t.turn_idx * 7) % 40, 40) || ' '
+                 || upper(substr(lower(n.n_name), 1, 1)) || substr(lower(n.n_name), 2)
+                 || ' ' || substr(d.text, 41 + (t.turn_idx * 3) % 20) AS text,
+               CASE WHEN t.turn_idx % 3 = 2 THEN 'search' ELSE NULL END AS tool,
+               timestamp '2024-01-01 00:00:00'
+                 + make_interval(0, 0, 0, 0, 0, 0, d.doc_id * {factor} + t.turn_idx) AS ts
+        FROM documents_rp d
+        JOIN (SELECT explode(sequence(0, {factor - 1})) AS turn_idx) t
+        JOIN nation n ON CAST((d.doc_id * {factor} + t.turn_idx) % 25 AS INT) = n.n_nationkey
+        """
+    )
+    return df
+
+
+def bench_pipeline(spark: SparkSession, sf_dir: str) -> tuple[float, int, int]:
+    import __spark_entry__ as entry_mod
+    from t_res_spark.plans.pipeline import PipelineConfig, resolve
+
+    from t_res_spark.session import warm_python_workers
+
+    transcripts = derived_transcripts_amplified(spark, sf_dir, TURNS_FACTOR)
+    aliases = entry_mod._derived_aliases(spark, sf_dir)
+    n_turns = transcripts.count()
+    # steady-state measurement: python workers initialized outside the
+    # timed region (a long-lived cluster amortizes this to zero)
+    warm_python_workers(spark)
+    t0 = time.time()
+    res = resolve(spark, transcripts, aliases, config=PipelineConfig())
+    n_clusters = res.clusters.count()
+    return time.time() - t0, n_turns, n_clusters
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from t_res_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="t_res_spark-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(os.environ.get("TRES_SHUFFLE_PARTITIONS", CPUS)),
+    )
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    per_query: dict[str, float] = {}
+    qs = entry_mod.queries()
+    if os.environ.get("TRES_BENCH_PIPELINE_ONLY"):
+        bench_queries = []
+    else:
+        bench_queries = [
+        "j1_perfect_match", "j3_fuzzy_damlev", "a2_most_popular",
+        "w1_top1_ties", "w2_top7", "m4_edges_star",
+        "d1_exact_dedup", "d2_minhash_clusters", "d3_simhash",
+        "t2_quality", "t3_token_counts", "s6_embedding_topk",
+        "ann_lsh_topk", "mm_media_features",
+    ]
+    for name in bench_queries:
+        t0 = time.time()
+        # count() forces the full plan without driver-side collect volume
+        qs[name](spark, SF_DIR).count()
+        per_query[name] = round(time.time() - t0, 3)
+
+    e2e_sec, n_turns, n_clusters = bench_pipeline(spark, SF_DIR)
+    per_query["er_pipeline_e2e"] = round(e2e_sec, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "er_pipeline_e2e_sec",
+                "value": round(e2e_sec, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "turns": n_turns,
+                "clusters": n_clusters,
+                "turns_per_sec": round(n_turns / e2e_sec, 1),
+                "cpus": int(CPUS),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

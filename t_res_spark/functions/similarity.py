@@ -243,6 +243,18 @@ def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
     return F.lit(2.0 * 6371.0088) * F.asin(F.sqrt(h))
 
 
+def pem_clamp(p: Column) -> Column:
+    """F7 — p(e|m) clamp ``min(1.0, max(1e-3, p))``
+    (/root/reference/utils/REL/entity_disambiguation.py:873)."""
+    return F.least(F.lit(1.0), F.greatest(F.lit(1e-3), p))
+
+
+def log_prior(p: Column) -> Column:
+    """F8 — ``log(p + 1e-20)`` prior transform
+    (/root/reference/utils/REL/mulrel_ranker.py:228,326,434)."""
+    return F.log(p + F.lit(1e-20))
+
+
 def capped_distance_score(dist_km: Column, cap_km: float = 1000.0) -> Column:
     """The reference's GB distance-cap → score transform
     (/root/reference/geoparser/linking.py:320-330):

@@ -27,7 +27,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -38,9 +38,14 @@ def edges_from_predictions(linked: DataFrame) -> DataFrame:
     convention). O(n) edges, map-side-combinable min — this is the
     scalable alternative to materialising all same-entity pairs."""
     non_nil = linked.filter(F.col("prediction") != "NIL")
-    w = Window.partitionBy("prediction")
+    # groupBy + join, NOT a window over prediction: a window puts every
+    # mention of a hot entity into one task (straggler); the groupBy min
+    # is map-side combinable and the tiny roots table joins back
+    # broadcast (AQE picks it).
+    roots = non_nil.groupBy("prediction").agg(F.min("mention_id").alias("root"))
     return (
-        non_nil.withColumn("root", F.min("mention_id").over(w))
+        non_nil.select("mention_id", "prediction")
+        .join(roots, "prediction")
         .filter(F.col("mention_id") != F.col("root"))
         .select(F.col("mention_id").alias("src"), F.col("root").alias("dst"))
     )
@@ -125,15 +130,47 @@ def connected_components(
     )
 
 
-def cluster_mentions(linked: DataFrame) -> DataFrame:
+def cluster_mentions(
+    linked: DataFrame, extra_edges: DataFrame | None = None
+) -> DataFrame:
     """linked mention instances → (mention_id, cluster_id, prediction).
+
+    Scale design: connected components never runs over mention
+    instances (10^12 at target scale). Mentions sharing a prediction
+    are one component by construction, so the CC input is the
+    **entity-level graph**: one representative (min mention_id) per
+    prediction, plus any ``extra_edges`` carrying cross-entity merge
+    evidence (prediction_a, prediction_b) — e.g. same-conversation
+    coreference or alias-equivalence rules. CC cost is O(|entities|),
+    label assignment is one equi-join back onto the mention instances.
 
     cluster_id = min mention_id of the component (deterministic
     canonical label, SURVEY §7.1 M4); NIL and unmatched mentions are
     singleton clusters labelled by themselves."""
-    edges = edges_from_predictions(linked)
-    labels = connected_components(edges)
+    non_nil = linked.filter(F.col("prediction") != "NIL")
+    roots = non_nil.groupBy("prediction").agg(
+        F.min("mention_id").alias("root")
+    )
+    if extra_edges is not None:
+        # map cross-entity evidence to representative ids and run the
+        # general CC over the (tiny) entity graph
+        ra = roots.select(
+            F.col("prediction").alias("prediction_a"), F.col("root").alias("src")
+        )
+        rb = roots.select(
+            F.col("prediction").alias("prediction_b"), F.col("root").alias("dst")
+        )
+        ent_edges = extra_edges.join(ra, "prediction_a").join(rb, "prediction_b")
+        labels = connected_components(ent_edges.select("src", "dst"))
+        roots = (
+            roots.join(
+                labels.withColumnRenamed("mention_id", "root"), "root", "left"
+            )
+            .withColumn("root", F.coalesce("cluster_id", "root"))
+            .select("prediction", "root")
+        )
     return (
-        linked.join(labels, "mention_id", "left")
-        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("mention_id")))
+        linked.join(roots, "prediction", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("root"), F.col("mention_id")))
+        .drop("root")
     )

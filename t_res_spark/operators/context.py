@@ -1,0 +1,192 @@
+"""Context-coherent disambiguation — the REL/MulRelRanker analog.
+
+The reference disambiguates with a neural coherence model per document:
+PreRank (context·entity dot products, topk —
+/root/reference/utils/REL/mulrel_ranker.py:7-65) feeding MulRelRanker
+(local attention + multi-relational scores + a loopy-belief-propagation
+loop with n_loops=10, damping 0.5 —
+/root/reference/utils/REL/mulrel_ranker.py:118-443), batched one
+document at a time (/root/reference/utils/REL/entity_disambiguation.py:222,507).
+
+This engine re-expresses the same *shape* deterministically:
+``groupBy(conv_id).applyInPandas`` — conversation = group = minibatch,
+exactly the reference's batching — running a damped iterative coherence
+loop over candidate embeddings (hashed n-gram vectors instead of model
+weights). Each iteration rescores every candidate as
+
+    score = (1-df) * score + df * (prior + coherence)/2,
+    coherence = cosine(candidate_emb, mean of other mentions'
+                       current-best candidate embeddings)
+
+for n_loops iterations (df=0.5, n_loops=10 — the reference's constants,
+mulrel_ranker.py:403-421). The per-conversation prior row
+("publication" trick, /root/reference/utils/rel_utils.py:234-275 /
+geoparser/pipeline.py:253-269 — U4) is appended as an already-resolved
+anchor mention and removed from the output after scoring.
+
+Python appears only inside the Arrow-batched group function (numpy
+matrix ops per conversation) — never per-row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..datagen import EMB_DIM, hashed_ngram_embedding
+
+N_LOOPS = 10  # mulrel_ranker.py:403 (n_loops)
+DAMPING = 0.5  # mulrel_ranker.py:421 (df)
+
+CONTEXT_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("mention_id", T.StringType(), False),
+        T.StructField("mention", T.StringType(), False),
+        T.StructField("prediction", T.StringType(), False),
+        T.StructField("link_score", T.DoubleType(), False),
+    ]
+)
+
+
+def with_conversation_prior(
+    mentions: DataFrame, origins: DataFrame
+) -> DataFrame:
+    """U4 — append one artificial already-resolved mention per
+    conversation (the 'place of publication' anchor). ``origins`` is
+    (conv_id, origin_qid, origin_name). Anchor rows carry
+    is_prior=true and are filtered out after scoring."""
+    anchors = origins.select(
+        "conv_id",
+        F.lit(-1).cast("int").alias("turn_idx"),
+        F.concat(F.col("conv_id"), F.lit(":prior")).alias("mention_id"),
+        F.col("origin_name").alias("mention"),
+        F.lit(0).alias("start_char"),
+        F.length("origin_name").alias("end_char"),
+        F.lit(1.0).alias("ner_score"),
+        F.lit("LOC").alias("tag"),
+        F.col("origin_qid").alias("prior_qid"),
+        F.lit(True).alias("is_prior"),
+    )
+    return mentions.withColumn(
+        "prior_qid", F.lit(None).cast("string")
+    ).withColumn("is_prior", F.lit(False)).unionByName(anchors)
+
+
+def _conv_coherence(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-conversation damped coherence loop (runs inside Arrow batch).
+
+    Input rows: one per (mention_id, qid) candidate with columns
+    conv_id, mention_id, mention, qid, prior (normalized popularity),
+    emb (candidate embedding list), is_prior, prior_qid."""
+    out_rows = []
+    for conv_id, grp in pdf.groupby("conv_id", sort=True):
+        mention_ids = sorted(grp["mention_id"].unique())
+        cand: dict[str, list[tuple[str, float, np.ndarray]]] = {}
+        for mid in mention_ids:
+            g = grp[grp["mention_id"] == mid].sort_values("qid")
+            cand[mid] = [
+                (q, float(p), np.asarray(e, dtype=np.float64))
+                for q, p, e in zip(g["qid"], g["prior"], g["emb"])
+            ]
+        # anchors are pinned to their prior_qid throughout
+        pinned = {
+            mid: pq
+            for mid, pq, isp in zip(grp["mention_id"], grp["prior_qid"], grp["is_prior"])
+            if isp and isinstance(pq, str)
+        }
+        scores = {
+            mid: np.array([p for _, p, _ in cands], dtype=np.float64)
+            for mid, cands in cand.items()
+        }
+        for _ in range(N_LOOPS):
+            # current best embedding per mention (pinned anchors fixed)
+            best_emb = {}
+            for mid, cands in cand.items():
+                if mid in pinned:
+                    idx = next(
+                        (i for i, (q, _, _) in enumerate(cands) if q == pinned[mid]), 0
+                    )
+                else:
+                    idx = int(np.argmax(scores[mid]))
+                best_emb[mid] = cands[idx][2]
+            new_scores = {}
+            for mid, cands in cand.items():
+                others = [best_emb[m] for m in mention_ids if m != mid]
+                if others:
+                    ctx = np.mean(others, axis=0)
+                    n = np.linalg.norm(ctx)
+                    ctx = ctx / n if n > 0 else ctx
+                else:
+                    ctx = np.zeros(EMB_DIM)
+                coher = np.array(
+                    [
+                        float(np.dot(e / max(np.linalg.norm(e), 1e-12), ctx))
+                        for _, _, e in cands
+                    ]
+                )
+                prior = np.array([p for _, p, _ in cands])
+                new_scores[mid] = (1 - DAMPING) * scores[mid] + DAMPING * (
+                    prior + coher
+                ) / 2.0
+            scores = new_scores
+        for mid in mention_ids:
+            cands = cand[mid]
+            if mid in pinned:
+                continue  # drop anchor rows from output (U4 pop)
+            idx = int(np.argmax(scores[mid]))
+            out_rows.append(
+                (
+                    conv_id,
+                    mid,
+                    grp[grp["mention_id"] == mid]["mention"].iloc[0],
+                    cands[idx][0],
+                    round(float(scores[mid][idx]), 3),
+                )
+            )
+    return pd.DataFrame(
+        out_rows,
+        columns=["conv_id", "mention_id", "mention", "prediction", "link_score"],
+    )
+
+
+def context_disambiguate(
+    mentions: DataFrame,
+    candidates: DataFrame,
+    origins: DataFrame | None = None,
+) -> DataFrame:
+    """mentions(conv_id, mention_id, mention[, is_prior, prior_qid]) ×
+    candidates(mention, qid, relv, abs_relv) → per-mention contextual
+    predictions. One shuffle on conv_id; each group is one Arrow batch
+    (the reference's document-minibatch boundary)."""
+    if origins is not None:
+        mentions = with_conversation_prior(mentions, origins)
+    if "is_prior" not in mentions.columns:
+        mentions = mentions.withColumn("is_prior", F.lit(False)).withColumn(
+            "prior_qid", F.lit(None).cast("string")
+        )
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def embed_udf(s: pd.Series) -> pd.Series:
+        return s.astype(str).map(lambda x: hashed_ngram_embedding(x, EMB_DIM).tolist())
+
+    # normalized prior per (mention, qid): abs_relv / sum over mention
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("mention")
+    priored = (
+        candidates.groupBy("mention", "qid")
+        .agg(F.max("abs_relv").alias("abs_relv"))
+        .withColumn("prior", F.col("abs_relv") / F.sum("abs_relv").over(w))
+        .withColumn("emb", embed_udf("qid"))
+    )
+    rows = mentions.join(priored, "mention", "inner").select(
+        "conv_id", "mention_id", "mention", "qid", "prior", "emb",
+        "is_prior", "prior_qid",
+    )
+    return rows.groupBy("conv_id").applyInPandas(
+        _conv_coherence, schema=CONTEXT_OUT_SCHEMA
+    )

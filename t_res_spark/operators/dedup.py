@@ -72,25 +72,40 @@ def minhash_signatures(
     import random
 
     rng = random.Random(seed)
-    coeffs = [
-        (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
-        for _ in range(num_hashes)
-    ]
-    sh = _shingles(F.col(text_col), shingle_n)
-    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
-    sig = F.array(
-        *[
-            F.aggregate(
-                hashed,
-                F.lit(_MERSENNE_P).cast("long"),
-                lambda acc, x: F.least(
-                    acc, F.pmod(F.pmod(x * a, F.lit(_MERSENNE_P)) + b, F.lit(_MERSENNE_P))
-                ),
-            )
-            for a, b in coeffs
-        ]
+    a_lits = F.array(
+        *[F.lit(rng.randrange(1, _MERSENNE_P)).cast("long") for _ in range(num_hashes)]
     )
-    return docs.select("doc_id", sig.alias("sig"))
+    b_lits = F.array(
+        *[F.lit(rng.randrange(0, _MERSENNE_P)).cast("long") for _ in range(num_hashes)]
+    )
+    sh = _shingles(F.col(text_col), shingle_n)
+    # Materialize the shingle hashes once (separate projection step):
+    # Catalyst does not CSE across higher-order functions, so folding
+    # num_hashes aggregates over the raw text expression would re-split
+    # and re-hash the document num_hashes times per row.
+    hashed = docs.select(
+        "doc_id",
+        F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))).alias("hs"),
+    )
+    # One pass over the hash array, folding an array-of-mins accumulator:
+    # acc[i] = min(acc[i], (x*a[i]+b[i]) mod p) — a single aggregate
+    # expression instead of num_hashes traversals.
+    sig = F.aggregate(
+        F.col("hs"),
+        F.array_repeat(F.lit(_MERSENNE_P).cast("long"), num_hashes),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.zip_with(a_lits, b_lits, lambda a, b: F.struct(a.alias("a"), b.alias("b"))),
+            lambda m, ab: F.least(
+                m,
+                F.pmod(
+                    F.pmod(x * ab["a"], F.lit(_MERSENNE_P)) + ab["b"],
+                    F.lit(_MERSENNE_P),
+                ),
+            ),
+        ),
+    )
+    return hashed.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -172,13 +187,15 @@ def near_duplicate_clusters(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    shingle_n: int = 5,
 ) -> DataFrame:
     """MinHash → LSH candidates → Jaccard verify → connected components.
     Returns (doc_id, dup_cluster) covering every document (singletons
-    map to themselves)."""
-    sigs = minhash_signatures(docs, text_col, num_hashes)
+    map to themselves). ``shingle_n``: word-shingle width — 5 for strict
+    long-document dedup, 3 when single-word edits must still collide."""
+    sigs = minhash_signatures(docs, text_col, num_hashes, shingle_n)
     pairs = minhash_lsh_pairs(sigs, bands, num_hashes // bands)
-    verified = jaccard_verify(docs, pairs, text_col, threshold=threshold)
+    verified = jaccard_verify(docs, pairs, text_col, shingle_n, threshold)
     edges = verified.select(
         F.col("a").cast("string").alias("src"), F.col("b").cast("string").alias("dst")
     )

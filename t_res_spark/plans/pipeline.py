@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..operators import clustering, extraction, linking, ranking
 from ..sources.tables import CheckpointCatalog
@@ -61,6 +62,15 @@ class PipelineResult:
     clusters: DataFrame
     metrics: DataFrame
 
+    def unpersist(self) -> None:
+        """Release the persisted shared stages (mentions/linked) —
+        call when done with the result in a long-lived session."""
+        for df in (self.mentions, self.linked):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
 
 def stage_metrics(spark: SparkSession, clusters: DataFrame) -> DataFrame:
     """Per-partition lineage/metrics table (north rule): row counts and
@@ -92,12 +102,20 @@ def resolve(
     cfg = config or PipelineConfig()
     cfg_d = cfg.as_dict()
 
-    def _stage(name: str, thunk):
+    def _stage(name: str, thunk, persist: bool = False):
         if catalog is None:
-            return thunk()
+            df = thunk()
+            if persist:
+                # mentions/linked feed several DAG branches; without a
+                # checkpoint table the extraction UDF would re-run per
+                # branch — persist the shared subtree instead
+                df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            return df
         return catalog.materialize(thunk, name, cfg_d)
 
-    mentions = _stage("mentions", lambda: extraction.extract_mentions(transcripts))
+    mentions = _stage(
+        "mentions", lambda: extraction.extract_mentions(transcripts), persist=True
+    )
 
     surfaces = extraction.distinct_mentions(mentions)
 
@@ -124,6 +142,9 @@ def resolve(
 
     predictions = _stage("predictions", _predict)
 
+    # linked is NOT persisted: it re-derives from the cached mentions
+    # with one cheap broadcast join per consuming branch, while caching
+    # it would double the memory footprint of the widest table.
     linked = _stage(
         "linked", lambda: linking.link_mentions(mentions, predictions, entities)
     )

@@ -62,3 +62,25 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_python_workers(spark: SparkSession, n_tasks: int | None = None) -> None:
+    """Spin up the Arrow/pandas worker pool before timing-sensitive work.
+
+    Each executor slot pays a one-off Python interpreter + pandas/numpy
+    import cost (~1-2 s) on its first UDF task; on a long-lived cluster
+    that amortizes to nothing, but in a benchmark it reads as serial
+    overhead. One trivial mapInPandas pass over n_tasks partitions
+    forces every slot to initialize."""
+    import pandas as pd  # noqa: F401
+
+    if n_tasks is None:
+        n_tasks = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def _identity(batches):
+        for b in batches:
+            yield b
+
+    spark.range(n_tasks * 10).repartition(n_tasks).mapInPandas(
+        _identity, schema="id long"
+    ).count()

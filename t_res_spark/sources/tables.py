@@ -88,3 +88,22 @@ class CheckpointCatalog:
 
 def read_fixture(spark: SparkSession, fixture_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(fixture_dir, f"{name}.parquet"))
+
+
+def write_eval_sink(linked: DataFrame, path: str) -> None:
+    """S14 — the CLEF-HIPE-scorer-style ordered text sink
+    (/root/reference/utils/process_data.py:523-581): one line per
+    mention, tab-separated, globally ordered by (conv_id, turn_idx,
+    start_char), single partition. Eval-output only — never a
+    data-path sink (a global sort to one partition is the exact
+    anti-pattern everywhere else)."""
+    (
+        linked.orderBy("conv_id", "turn_idx", "start_char")
+        .selectExpr(
+            "concat_ws('\t', conv_id, cast(turn_idx as string), "
+            "cast(start_char as string), mention, prediction) AS value"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )

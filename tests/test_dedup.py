@@ -1,0 +1,65 @@
+"""Dedup operators: exact groups, MinHash/LSH recall on planted
+near-dups, SimHash Hamming, Jaccard verify."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from t_res_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while rain falls "
+        "softly on the quiet village roofs and markets open slowly"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("quick", "swift")),  # near dup of 0
+        (3, "completely different text about spark shuffles and "
+            "partition pruning in columnar engines at scale"),
+        (4, base.replace("rain", "snow").replace("dog", "cat")),  # near dup
+        (5, "another unrelated document mentioning window functions "
+            "broadcast joins and adaptive query execution plans"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    out = {r["doc_id"]: r for r in dedup.exact_duplicates(docs).collect()}
+    assert out[1]["dup_group"] == 0 and not out[1]["is_canonical"]
+    assert out[0]["is_canonical"]
+    assert out[2]["dup_group"] == 2  # near dup is NOT an exact dup
+
+
+def test_minhash_near_dup_clusters(docs):
+    out = {
+        r["doc_id"]: r["dup_cluster"]
+        # bands=32 (2 rows/band): collision prob at jaccard 0.6 is
+        # 1-(1-0.36)^32 ≈ 1 — the test asserts recall, not band luck
+        for r in dedup.near_duplicate_clusters(
+            docs, threshold=0.5, shingle_n=3, bands=32
+        ).collect()
+    }
+    assert out["0"] == out["1"] == out["2"] == out["4"]  # one family
+    assert out["3"] != out["0"] and out["5"] != out["0"]
+    assert out["3"] != out["5"]
+
+
+def test_jaccard_verify_bounds(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (0, 3)], "a long, b long")
+    got = {(r["a"], r["b"]): r["jaccard"]
+           for r in dedup.jaccard_verify(docs, pairs, threshold=0.0).collect()}
+    assert got[(0, 1)] == 1.0
+    assert got.get((0, 3), 0.0) < 0.2
+
+
+def test_simhash_hamming(docs):
+    fps = dedup.simhash(docs)
+    pairs = dedup.simhash_near_pairs(fps, max_hamming=12)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (0, 1) in got  # identical text → hamming 0
+    fp = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[3]

@@ -1,0 +1,84 @@
+"""Dump formatted physical plans for the engine's key operators and
+grep the properties that matter at 100 TB: PushedFilters reaching the
+parquet scan, broadcast vs shuffle joins, whole-stage codegen coverage,
+exchange (shuffle) counts.
+
+Usage: python tools/explain_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from t_res_spark.session import get_spark  # noqa: E402
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def audit(name: str, df) -> None:
+    p = plan_of(df)
+    n_exchange = len(re.findall(r"\bExchange\b", p))
+    n_codegen = len(re.findall(r"WholeStageCodegen", p))
+    bhj = len(re.findall(r"BroadcastHashJoin", p))
+    smj = len(re.findall(r"SortMergeJoin", p))
+    shj = len(re.findall(r"ShuffledHashJoin", p))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    print(f"== {name}: exchanges={n_exchange} codegen_spans={n_codegen} "
+          f"BHJ={bhj} SMJ={smj} SHJ={shj}")
+    for pf in pushed:
+        if pf.strip():
+            print(f"   PushedFilters: {pf}")
+    if os.environ.get("TRES_EXPLAIN_FULL"):
+        print(p)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="explain", master="local[4]", shuffle_partitions=8)
+
+    import __spark_entry__ as entry_mod
+    from t_res_spark.datagen import ensure_fixture
+    from t_res_spark.operators import extraction, linking, ranking
+    from t_res_spark.operators.dedup import minhash_signatures
+    from t_res_spark.sources.tables import read_fixture
+
+    fdir = ensure_fixture("tiny", root=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"))
+    transcripts = read_fixture(spark, fdir, "transcripts")
+    aliases_raw = read_fixture(spark, fdir, "aliases")
+
+    # S2: noise filter must reach the parquet scan as PushedFilters
+    audit("clean_aliases scan", ranking.clean_aliases(aliases_raw))
+
+    mentions = extraction.extract_mentions(transcripts)
+    surfaces = extraction.distinct_mentions(mentions)
+    audit("extract+distinct", surfaces)
+
+    aliases = ranking.clean_aliases(aliases_raw)
+    audit("perfect_match (expect BHJ)", ranking.perfect_match(surfaces, aliases))
+
+    cands = ranking.find_candidates(surfaces, aliases, method="fuzzy")
+    audit("fuzzy candidates", cands)
+    audit("most_popular", linking.most_popular(cands))
+
+    entry_mod._register(spark, sf_dir)
+    audit("minhash signatures", minhash_signatures(spark.table("documents")))
+    audit("q_w2_top7", entry_mod.q_w2_top7(spark, sf_dir))
+    audit("q_opt_salted_agg", entry_mod.q_opt_salted_agg(spark, sf_dir))
+
+
+if __name__ == "__main__":
+    main()
