@@ -70,7 +70,7 @@ def bench_pipeline(spark: SparkSession, sf_dir: str) -> tuple[float, int, int]:
     import __spark_entry__ as entry_mod
     from t_res_spark.plans.pipeline import PipelineConfig, resolve
 
-    from t_res_spark.session import warm_python_workers
+    from t_res_spark.session import warm_python_workers  # noqa: F811
 
     transcripts = derived_transcripts_amplified(spark, sf_dir, TURNS_FACTOR)
     aliases = entry_mod._derived_aliases(spark, sf_dir)
@@ -96,6 +96,10 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
+
+    from t_res_spark.session import warm_python_workers
+
+    warm_python_workers(spark)
 
     per_query: dict[str, float] = {}
     qs = entry_mod.queries()
