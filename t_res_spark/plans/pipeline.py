@@ -72,6 +72,28 @@ class PipelineResult:
                 pass
 
 
+def blocking_metrics(surfaces: DataFrame) -> DataFrame:
+    """Skew evidence for the lineage table (SURVEY §7.3 #4 — 'must be
+    measured, not assumed'): per-block-key candidate counts with the
+    overall p50/p99/max, so a hot key ('London' problem) shows up as a
+    number, not an OOM. One map-side-combinable agg over the blocked
+    surface table."""
+    from ..operators.blocking import with_block_keys
+
+    sizes = (
+        with_block_keys(surfaces.select("mention"), "mention")
+        .groupBy("block_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.expr("percentile_approx(n, 0.5)").alias("p50"),
+        F.expr("percentile_approx(n, 0.99)").alias("p99"),
+        F.max("n").alias("max_block"),
+        F.sum("n").alias("total_keys"),
+    )
+
+
 def stage_metrics(spark: SparkSession, clusters: DataFrame) -> DataFrame:
     """Per-partition lineage/metrics table (north rule): row counts and
     cluster stats per shuffle partition, computed with
