@@ -656,6 +656,18 @@ def q_ctx_disambiguate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return context_disambiguate(mentions, _candidates_df(spark))
 
 
+def q_d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 — embedding-cosine near-duplicate clusters (SRP-LSH propose,
+    exact cosine verify, CC close). Seeded hyperplanes → rows-only."""
+    from t_res_spark.operators.dedup import embedding_near_duplicates
+
+    _register(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return embedding_near_duplicates(emb, threshold=0.95)
+
+
 def q_mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing — binary payload → feature extraction via
     mapInPandas (deterministic stub decode → rows-only)."""
@@ -716,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d2_minhash_clusters": q_d2_minhash_clusters,
         "d3_simhash": q_d3_simhash,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "d5_embedding_neardup": q_d5_embedding_neardup,
         "mm_media_features": q_mm_media_features,
     }
 

@@ -210,6 +210,61 @@ def near_duplicate_clusters(
     )
 
 
+def embedding_near_duplicates(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate clusters (task brief): SRP-LSH
+    buckets propose candidate pairs, exact cosine verifies against the
+    threshold, connected components closes them transitively. Returns
+    (doc_id, dup_cluster) over every input row."""
+    from .similarity_search import _hyperplanes, cosine, srp_bucket
+
+    dim_row = vectors.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row["d"] if dim_row else 0
+    planes = [_hyperplanes(dim, bits, seed + t) for t in range(tables)]
+    bucketed = vectors.select(
+        id_col,
+        vec_col,
+        F.posexplode(
+            F.array(*[srp_bucket(F.col(vec_col), p) for p in planes])
+        ).alias("table_id", "bucket"),
+    )
+    other = bucketed.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        "table_id",
+        "bucket",
+    )
+    cands = (
+        bucketed.join(other, ["table_id", "bucket"])
+        .filter(F.col(id_col) < F.col("id_b"))
+        .select(id_col, vec_col, "id_b", "vec_b")
+        .distinct()
+    )
+    verified = cands.withColumn(
+        "cos_sim", cosine(F.col(vec_col), F.col("vec_b"))
+    ).filter(F.col("cos_sim") >= threshold)
+    edges = verified.select(
+        F.col(id_col).cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    labels = connected_components(edges)
+    return (
+        vectors.select(F.col(id_col).cast("string").alias("mention_id"))
+        .join(labels, "mention_id", "left")
+        .select(
+            F.col("mention_id").alias("doc_id"),
+            F.coalesce("cluster_id", "mention_id").alias("dup_cluster"),
+        )
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     """64-bit SimHash of word unigrams — per-bit vote via native array
     math. Returns (doc_id, simhash)."""

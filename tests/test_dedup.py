@@ -55,6 +55,20 @@ def test_jaccard_verify_bounds(spark, docs):
     assert got.get((0, 3), 0.0) < 0.2
 
 
+def test_embedding_near_duplicates(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(10, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(10)]
+    rows[9] = (9, [float(x * 1.001) for x in base[0]])  # near-copy of 0
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["doc_id"]: r["dup_cluster"]
+           for r in dedup.embedding_near_duplicates(vecs, threshold=0.99).collect()}
+    assert out["0"] == out["9"]  # planted near-copy clustered
+    assert len({out[str(i)] for i in range(1, 9)}) == 8  # others singleton
+
+
 def test_simhash_hamming(docs):
     fps = dedup.simhash(docs)
     pairs = dedup.simhash_near_pairs(fps, max_hamming=12)
