@@ -518,7 +518,7 @@ def q_ml1_extract_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents")
     return (
         docs.select(
-            F.explode(F.regexp_extract_all("text", F.lit("[a-z]{7,}"), 0)).alias("token")
+            F.explode(F.regexp_extract_all("text", F.lit("[a-z]{4,}"), 0)).alias("token")
         )
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1051,7 +1051,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ml1_extract_tokens": """
             SELECT token, count(*) AS n FROM (
-              SELECT unnest(regexp_extract_all(text, '[a-z]{7,}')) AS token
+              SELECT unnest(regexp_extract_all(text, '[a-z]{4,}')) AS token
               FROM documents
             ) GROUP BY token
         """,
