@@ -670,7 +670,11 @@ def q_d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing — binary payload → feature extraction via
-    mapInPandas (deterministic stub decode → rows-only)."""
+    mapInPandas. The gate output keeps only scalar columns (the driver's
+    canonicalizer cannot sort an array column); n_bytes + sha256 digest
+    are oracle-checked against DuckDB's sha256(VARCHAR), which hashes
+    the same UTF-8 bytes hashlib sees. The feature vector itself is
+    covered by tests/test_similarity_search.py-style unit goldens."""
     from t_res_spark.operators.multimodal import extract_media_features
 
     _register(spark, sf_dir)
@@ -683,7 +687,9 @@ def q_mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
         """
     )
-    return extract_media_features(media)
+    return extract_media_features(media).select(
+        "media_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes"), "digest"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -722,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_token_counts": q_t3_token_counts,
         "ml1_extract_tokens": q_ml1_extract_tokens,
         "s6_embedding_topk": q_s6_embedding_topk,
+        "mm_media_features": q_mm_media_features,
         # rows-only (non-SQL-expressible)
         "er_clusters": q_er_clusters,
         "ctx_disambiguate": q_ctx_disambiguate,
@@ -729,7 +736,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_simhash": q_d3_simhash,
         "ann_lsh_topk": q_ann_lsh_topk,
         "d5_embedding_neardup": q_d5_embedding_neardup,
-        "mm_media_features": q_mm_media_features,
     }
 
 
@@ -859,8 +865,10 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "opt_salted_agg": """
+            -- CAST: DuckDB sum(BIGINT) returns HUGEINT (stringifies as a
+            -- float via pandas), Spark returns BIGINT — align the types.
             SELECT o_custkey, count(*) AS n_orders,
-                   sum(o_orderkey) AS sum_orderkey
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_orderkey
             FROM orders GROUP BY o_custkey
         """,
         "j6_align_spans": """
@@ -1054,6 +1062,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT unnest(regexp_extract_all(text, '[a-z]{4,}')) AS token
               FROM documents
             ) GROUP BY token
+        """,
+        "mm_media_features": """
+            -- DuckDB sha256(VARCHAR) hashes the UTF-8 bytes — identical
+            -- to hashlib.sha256(text.encode()) inside the mapInPandas op.
+            SELECT CAST(doc_id AS STRING) AS media_id,
+                   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS digest
+            FROM documents
         """,
         "s6_embedding_topk": """
             WITH e AS (
