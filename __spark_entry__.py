@@ -621,6 +621,26 @@ def q_d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(spark.table("documents"))
 
 
+def q_d3b_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3b — SimHash near-pair proposal (4 disjoint 16-bit bands +
+    bucket cap) with exact Hamming verify. Near-dup rows are planted by
+    unioning exact copies of every 5th document (hamming 0 — the
+    pigeonhole guarantee makes them unmissable). xxhash64-seeded →
+    rows-only."""
+    from t_res_spark.operators.dedup import simhash, simhash_near_pairs
+
+    _register(spark, sf_dir)
+    docs = spark.sql(
+        """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents
+        WHERE doc_id % 5 = 0
+        """
+    )
+    return simhash_near_pairs(simhash(docs), max_hamming=3)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path — SRP-bucketed LSH top-k with exact re-rank
     (seeded hyperplanes → rows-only)."""
@@ -734,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ctx_disambiguate": q_ctx_disambiguate,
         "d2_minhash_clusters": q_d2_minhash_clusters,
         "d3_simhash": q_d3_simhash,
+        "d3b_simhash_pairs": q_d3b_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "d5_embedding_neardup": q_d5_embedding_neardup,
     }

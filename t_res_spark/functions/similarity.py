@@ -15,9 +15,15 @@ Reference parity:
 - haversine with 1000 km cap + invalid-coordinate guard:
   /root/reference/geoparser/linking.py:301-330.
 
-The OSA (optimal-string-alignment) variant of Damerau-Levenshtein is
-used, matching both pyxdameraulevenshtein (the reference's library) and
-DuckDB's ``damerau_levenshtein`` (our correctness oracle).
+Two Damerau-Levenshtein variants live here and they are NOT
+interchangeable: DuckDB's ``damerau_levenshtein`` implements the
+UNRESTRICTED variant (``dl_distance``/``dl_sim_udf`` — what the
+oracle-gated q_j3 uses; damerau_levenshtein('ca','abc') == 2), while
+pyxdameraulevenshtein — the reference's library — implements the
+restricted OSA variant (``osa_distance``/``damlev_sim_batch``;
+OSA('ca','abc') == 3). They differ only on transposition-adjacent
+inputs, but swapping OSA into an oracle-gated query WILL break the
+correctness gate.
 """
 
 from __future__ import annotations

@@ -267,21 +267,30 @@ def embedding_near_duplicates(
 
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     """64-bit SimHash of word unigrams — per-bit vote via native array
-    math. Returns (doc_id, simhash)."""
+    math. Returns (doc_id, simhash).
+
+    Scale shape: the token hashes are materialized in a prior projection
+    (Catalyst does not CSE across higher-order functions — see
+    minhash_signatures), then ALL 64 bit votes fold in a single
+    ``aggregate`` pass whose accumulator is a 64-long counter array.
+    One traversal of the token array per row, not 64."""
     words = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), "\\s+"))
-    hashes = F.transform(words, lambda s: F.xxhash64(s))
-    bit_votes = F.array(
-        *[
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-            )
-            for i in range(bits)
-        ]
+    hashed = docs.select(
+        "doc_id", F.transform(words, lambda s: F.xxhash64(s)).alias("hs")
     )
-    voted = docs.select("doc_id", bit_votes.alias("votes"))
+    # SQL lambda form: `x >> i` accepts a column shift amount (the
+    # Python F.shiftright API only takes int literals).
+    votes_expr = f"""
+        aggregate(
+          hs,
+          array_repeat(CAST(0 AS LONG), {bits}),
+          (acc, x) -> zip_with(
+            acc, sequence(0, {bits - 1}),
+            (a, i) -> a + IF(((x >> i) & 1) = 1, 1L, -1L)
+          )
+        )
+    """
+    voted = hashed.select("doc_id", F.expr(votes_expr).alias("votes"))
     # assemble the fingerprint with static bit literals OR'd together
     # (bit 63 is the sign bit — represented by long-min)
     fp = F.lit(0).cast("long")
@@ -295,27 +304,46 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFram
 
 
 def simhash_near_pairs(
-    fingerprints: DataFrame, max_hamming: int = 3, rotations: int = 4
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bucket_cap: int = 50,
 ) -> DataFrame:
-    """Candidate pairs whose SimHash prefixes collide under any of
-    ``rotations`` table rotations, verified by true Hamming distance
-    (bit_count of xor — native)."""
-    rot = fingerprints.select(
+    """Candidate pairs whose SimHash collides in ≥1 of ``bands``
+    disjoint 16-bit segments, verified by true Hamming distance
+    (bit_count of xor — native).
+
+    Pigeonhole guarantee: two fingerprints with Hamming distance ≤
+    ``bands - 1`` differ in fewer bits than there are bands, so at
+    least one band is identical — recall is exact for
+    ``max_hamming < bands`` (property-tested). Bucket key is
+    (band_idx, segment_value): segment r = ``(simhash >> 16r) & 0xFFFF``
+    (the mask makes the top band sign-safe). Buckets over
+    ``bucket_cap`` are skipped, exactly like minhash_lsh_pairs — a
+    64k-bucket band over 10⁹ docs would otherwise quadratically
+    explode; oversized buckets are exact/near-exact families the cheap
+    exact pass already groups."""
+    seg_w = 64 // bands
+    mask = (1 << seg_w) - 1
+    banded = fingerprints.select(
         "doc_id",
-        F.explode(
+        F.posexplode(
             F.array(
                 *[
-                    F.shiftright(
-                        F.col("simhash"), (64 // rotations) * r
-                    ).bitwiseXOR(F.lit(0)).alias("k")
-                    for r in range(rotations)
+                    F.shiftrightunsigned(F.col("simhash"), seg_w * r)
+                    .bitwiseAND(F.lit(mask))
+                    for r in range(bands)
                 ]
             )
-        ).alias("prefix"),
-    ).withColumn("prefix", F.shiftright("prefix", 16))
-    other = rot.select(F.col("doc_id").alias("doc_id_b"), "prefix")
+        ).alias("band", "segment"),
+    )
+    w = Window.partitionBy("band", "segment")
+    capped = banded.withColumn("bsz", F.count(F.lit(1)).over(w)).filter(
+        (F.col("bsz") > 1) & (F.col("bsz") <= bucket_cap)
+    )
+    other = capped.select("band", "segment", F.col("doc_id").alias("doc_id_b"))
     cands = (
-        rot.join(other, "prefix")
+        capped.join(other, ["band", "segment"])
         .filter(F.col("doc_id") < F.col("doc_id_b"))
         .select(F.col("doc_id").alias("a"), F.col("doc_id_b").alias("b"))
         .distinct()

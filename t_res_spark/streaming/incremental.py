@@ -79,13 +79,20 @@ class IncrementalResolver:
         return os.path.join(self.state_dir, "clusters")
 
     def _load_roots(self) -> DataFrame:
+        """Load the pinned-roots state. Missing path → empty state;
+        a live dir missing but ``_old`` present (crash mid-swap) →
+        recover from ``_old``. Any OTHER read error (genuine
+        corruption) propagates loudly — silently resetting state would
+        re-pin seen entities to new roots, breaking the
+        stable-cluster-id-across-restarts contract."""
         path = self._roots_path()
-        try:
-            return self.spark.read.parquet(path)
-        except Exception:
+        if not os.path.exists(path) and os.path.exists(path + "_old"):
+            path = path + "_old"
+        if not os.path.exists(path):
             return self.spark.createDataFrame(
                 [], "prediction string, cluster_id string"
             )
+        return self.spark.read.parquet(path)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         mentions = extraction.extract_mentions(batch_df)
@@ -110,12 +117,20 @@ class IncrementalResolver:
             ["prediction"]
         )
         merged_roots.write.mode("overwrite").parquet(self._roots_path() + "_next")
-        # atomic-ish swap (directory rename; Iceberg snapshot commit on a cluster)
+        # rename-aside swap (live → _old, _next → live, drop _old): a
+        # crash at any point leaves either the live dir or _old intact,
+        # and _load_roots recovers from _old. On a real cluster this is
+        # an Iceberg snapshot commit.
         import shutil
 
-        if os.path.exists(self._roots_path()):
-            shutil.rmtree(self._roots_path())
-        os.rename(self._roots_path() + "_next", self._roots_path())
+        live, old = self._roots_path(), self._roots_path() + "_old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(live):
+            os.rename(live, old)
+        os.rename(live + "_next", live)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
         all_roots = self.spark.read.parquet(self._roots_path()).withColumnRenamed(
             "cluster_id", "root"

@@ -77,3 +77,38 @@ def test_simhash_hamming(docs):
     fp = {r["doc_id"]: r["simhash"] for r in fps.collect()}
     assert fp[0] == fp[1]
     assert fp[0] != fp[3]
+
+
+def test_simhash_pigeonhole_recall(spark):
+    """Every pair within Hamming ≤ 3 of the base MUST be proposed: with
+    4 disjoint 16-bit bands, ≤3 differing bits leave ≥1 band identical
+    (pigeonhole) — including flips in the top (sign) band."""
+    import random
+
+    rng = random.Random(7)
+    base = 0x5A5A_C3C3_0F0F_AAAA - (1 << 63)  # sign bit set
+    rows = [(0, base)]
+    doc = 1
+    positions = list(range(64))
+    for k in (1, 2, 3):
+        for _ in range(12):
+            flip = rng.sample(positions, k)
+            fp = base
+            for p in flip:
+                fp ^= (1 << p) if p < 63 else -(1 << 63)
+            rows.append((doc, fp))
+            doc += 1
+    fps = spark.createDataFrame(rows, "doc_id long, simhash long")
+    pairs = dedup.simhash_near_pairs(fps, max_hamming=3, bucket_cap=1000)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    for d in range(1, doc):
+        assert (0, d) in got, f"missed planted pair (0, {d})"
+
+
+def test_simhash_bucket_cap_skips_huge_buckets(spark):
+    """Buckets above bucket_cap emit no pairs (the anti-explosion rule
+    shared with minhash_lsh_pairs)."""
+    rows = [(i, 0) for i in range(40)]  # 40 identical fingerprints
+    fps = spark.createDataFrame(rows, "doc_id long, simhash long")
+    assert dedup.simhash_near_pairs(fps, bucket_cap=10).count() == 0
+    assert dedup.simhash_near_pairs(fps, bucket_cap=50).count() == 40 * 39 // 2

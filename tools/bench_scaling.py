@@ -1,13 +1,19 @@
 """Scaling-efficiency evidence (north rule): run the identical ER
 pipeline job on the identical input at two parallelism levels —
-local[N] and local[4N] (default 4 vs 16) — in fresh JVMs, and report throughput
-at both plus scaling efficiency = (T_8 / T_32) / 4.
+local[N] and local[4N] — in fresh JVMs, and report throughput at both
+plus scaling efficiency = (T_N / T_4N) / 4.
+
+N comes from argv[3] and defaults to 2 (i.e. local[2] vs local[8]);
+the N actually used is recorded in BENCH/BASELINE.md's methodology
+line. Low N keeps both runs inside the box's free capacity (ambient
+neighbor load ~10-14 cores) so the ratio measures the engine, not
+contention.
 
 The sandbox has no multi-executor cluster; two local parallelism levels
 on the same 32-core box are the driver-sanctioned stand-in (task
 instructions). Writes BENCH/BASELINE.md.
 
-Usage: python tools/bench_scaling.py [sf_dir] [turns_factor]
+Usage: python tools/bench_scaling.py [sf_dir] [turns_factor] [N]
 """
 
 from __future__ import annotations
