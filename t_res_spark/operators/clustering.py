@@ -95,13 +95,22 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20, checkpoint_every: int = 1
+    edges: DataFrame, max_iterations: int = 20, check_every: int = 2
 ) -> DataFrame:
     """edges(src, dst) → labels(mention_id, cluster_id).
 
+    Node ids may be any orderable type (strings for mention ids,
+    longs for doc ids — long ids shuffle/compare cheaper; callers at
+    10^12 scale should dictionary-encode first).
+
     Alternates large-star/small-star until the edge set is stable
     (count + order-insensitive checksum), localCheckpointing each round
-    to cut lineage (SURVEY §4 'iterative convergence' row)."""
+    to cut lineage (SURVEY §4 'iterative convergence' row). The
+    convergence signature is only computed every ``check_every``
+    iterations — the algorithm has a strictly decreasing potential
+    (Kiveris et al. §3), so equal signatures ``check_every`` apart can
+    only mean a fixpoint, and the count/checksum job is half the
+    per-iteration driver cost."""
     cur = _canonical(edges).localCheckpoint(eager=True)
 
     def _sig(e: DataFrame) -> tuple[int, int]:
@@ -114,14 +123,18 @@ def connected_components(
 
     sig = _sig(cur)
     for it in range(max_iterations):
-        nxt = _small_star(_large_star(cur))
-        if checkpoint_every and it % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
-        nsig = _sig(nxt)
-        if nsig == sig:
-            cur = nxt
-            break
-        cur, sig = nxt, nsig
+        # lazy checkpoint: lineage still truncates at materialization,
+        # but the separate eager-checkpoint job disappears — the
+        # signature collect (every check_every rounds) materializes
+        # check_every rounds in ONE job.
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+        if it % check_every == check_every - 1 or it == max_iterations - 1:
+            nsig = _sig(nxt)
+            if nsig == sig:
+                cur = nxt
+                break
+            sig = nsig
+        cur = nxt
 
     # At convergence every edge points at its component root; a node may
     # still appear as src of several edges — take the min.

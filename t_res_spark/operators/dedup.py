@@ -181,6 +181,38 @@ def jaccard_verify(
     )
 
 
+def signature_estimate_filter(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    threshold: float,
+    margin: float = 0.1,
+) -> DataFrame:
+    """Pre-filter candidate pairs by the MinHash Jaccard ESTIMATE
+    (fraction of matching signature positions) before the exact verify.
+
+    The estimate is free — the signatures already exist and are ~512 B
+    per row vs. full shingle arrays (KBs) — so only pairs whose estimate
+    clears ``threshold - margin`` pay the shingle-array shuffle of
+    ``jaccard_verify``. With 64 hashes the estimator's std error is
+    ≤ 1/16, so a 0.1 margin keeps ≥ ~95% of true-positive borderline
+    pairs while discarding the LSH family's many sub-threshold
+    collisions."""
+    sa = signatures.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = signatures.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.greatest(F.size("sig_a"), F.lit(1))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= F.lit(threshold - margin))
+        .select("a", "b")
+    )
+
+
 def near_duplicate_clusters(
     docs: DataFrame,
     text_col: str = "text",
@@ -189,23 +221,26 @@ def near_duplicate_clusters(
     threshold: float = 0.8,
     shingle_n: int = 5,
 ) -> DataFrame:
-    """MinHash → LSH candidates → Jaccard verify → connected components.
+    """MinHash → LSH candidates → signature-estimate pre-filter →
+    Jaccard verify → connected components.
     Returns (doc_id, dup_cluster) covering every document (singletons
     map to themselves). ``shingle_n``: word-shingle width — 5 for strict
-    long-document dedup, 3 when single-word edits must still collide."""
+    long-document dedup, 3 when single-word edits must still collide.
+
+    CC runs on the native (long) doc ids — cheaper shuffles and
+    comparisons than strings; labels are cast back at the surface."""
     sigs = minhash_signatures(docs, text_col, num_hashes, shingle_n)
     pairs = minhash_lsh_pairs(sigs, bands, num_hashes // bands)
-    verified = jaccard_verify(docs, pairs, text_col, shingle_n, threshold)
-    edges = verified.select(
-        F.col("a").cast("string").alias("src"), F.col("b").cast("string").alias("dst")
-    )
+    near = signature_estimate_filter(pairs, sigs, threshold)
+    verified = jaccard_verify(docs, near, text_col, shingle_n, threshold)
+    edges = verified.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     labels = connected_components(edges)
     return (
-        docs.select(F.col("doc_id").cast("string").alias("mention_id"))
+        docs.select(F.col("doc_id").alias("mention_id"))
         .join(labels, "mention_id", "left")
         .select(
-            F.col("mention_id").alias("doc_id"),
-            F.coalesce("cluster_id", "mention_id").alias("dup_cluster"),
+            F.col("mention_id").cast("string").alias("doc_id"),
+            F.coalesce("cluster_id", "mention_id").cast("string").alias("dup_cluster"),
         )
     )
 
@@ -250,17 +285,18 @@ def embedding_near_duplicates(
     verified = cands.withColumn(
         "cos_sim", cosine(F.col(vec_col), F.col("vec_b"))
     ).filter(F.col("cos_sim") >= threshold)
+    # CC on the native id type (longs shuffle/compare cheaper);
+    # string cast only at the output surface.
     edges = verified.select(
-        F.col(id_col).cast("string").alias("src"),
-        F.col("id_b").cast("string").alias("dst"),
+        F.col(id_col).alias("src"), F.col("id_b").alias("dst")
     )
     labels = connected_components(edges)
     return (
-        vectors.select(F.col(id_col).cast("string").alias("mention_id"))
+        vectors.select(F.col(id_col).alias("mention_id"))
         .join(labels, "mention_id", "left")
         .select(
-            F.col("mention_id").alias("doc_id"),
-            F.coalesce("cluster_id", "mention_id").alias("dup_cluster"),
+            F.col("mention_id").cast("string").alias("doc_id"),
+            F.coalesce("cluster_id", "mention_id").cast("string").alias("dup_cluster"),
         )
     )
 

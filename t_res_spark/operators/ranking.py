@@ -75,12 +75,14 @@ def perfect_match(queries: DataFrame, aliases: DataFrame) -> DataFrame:
     """J1 — exact surface match, score 1.0 (ranking.py:286-325).
 
     ``queries`` is the distinct mention surface table (one column
-    ``mention``). The distinct alias *surface* list is broadcast —
-    tiny relative to the alias→qid fan-out."""
+    ``mention``). No broadcast hint: a real KB has tens of millions of
+    alias surfaces (hundreds of MB per executor + a driver collect if
+    forced), so the join strategy is left to AQE — it broadcasts when
+    the side is actually small and sort-merges otherwise."""
     alias_surfaces = aliases.select(F.col("alias").alias("variation")).distinct()
     return (
         queries.join(
-            F.broadcast(alias_surfaces),
+            alias_surfaces,
             queries["mention"] == alias_surfaces["variation"],
             "inner",
         )
@@ -197,8 +199,11 @@ def embedding_match(
     kb = embeddings_kb.select(
         F.col("key").alias("variation"), F.col("emb").alias("v_emb")
     )
+    # No broadcast hint on q_emb: on OCR-noisy corpora most surfaces
+    # miss the exact match, so this side grows with the corpus — AQE
+    # promotes it to broadcast only when actually small.
     scored = (
-        pairs.join(F.broadcast(q_emb), "mention")
+        pairs.join(q_emb, "mention")
         .join(kb, "variation", "inner")
         .withColumn("score", cosine_score(F.col("q_emb"), F.col("v_emb")))
         .filter(F.col("score") >= F.lit(threshold))

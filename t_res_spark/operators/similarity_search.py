@@ -63,18 +63,46 @@ def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
 
 def srp_bucket(vec_col, planes: list[list[float]]):
     """Sign-random-projection bucket id: one bit per hyperplane —
-    native column math (dot + sign), no UDF."""
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec_col, F.array(*[F.lit(x) for x in p]), lambda v, w: v * w
-            ),
-            F.lit(0.0),
-            lambda s, v: s + v,
-        )
-        bucket = bucket + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
-    return bucket
+    native column math, no UDF.
+
+    Single-pass fold: ALL ``bits`` projections accumulate in one
+    ``aggregate`` traversal of the vector (accumulator = array of
+    partial dot products), instead of ``bits`` separate aggregates each
+    re-traversing the vector — the same no-CSE-across-higher-order-
+    functions trap minhash_signatures documents. The plane matrix is a
+    nested literal array, constant-folded by Catalyst to one
+    ArrayData."""
+    bits = len(planes)
+    planes_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in p]) for p in planes]
+    )
+    indexed = F.zip_with(
+        vec_col,
+        F.sequence(F.lit(0), F.size(vec_col) - 1),
+        lambda v, j: F.struct(v.alias("v"), j.alias("j")),
+    )
+    projs = F.aggregate(
+        indexed,
+        F.array_repeat(F.lit(0.0), bits),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda a, i: a + s["v"] * F.get(F.get(planes_arr, i), s["j"]),
+        ),
+    )
+    # sign bits → bucket id, again one traversal (2^i is exact in a
+    # double for i < 53, cast back to long)
+    return F.aggregate(
+        F.zip_with(
+            projs,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda pr, i: F.when(
+                pr > 0, F.pow(F.lit(2.0), i).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def lsh_topk(

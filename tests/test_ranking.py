@@ -121,3 +121,27 @@ def test_salting_preserves_results(spark, kb):
     a = ranking.find_candidates(q, kb, method="fuzzy", salt_factor=1)
     b = ranking.find_candidates(q, kb, method="fuzzy", salt_factor=8)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_no_forced_broadcast_on_unbounded_sides(spark, kb):
+    """Scale guard: neither the alias-surface side of perfect_match nor
+    the query-embedding side of embedding_match may carry a broadcast
+    hint — both grow with the KB / corpus (10M+ aliases; most surfaces
+    miss exact match on OCR-noisy text). AQE is free to promote small
+    sides at runtime; what we assert is that the plan doesn't FORCE it."""
+    from t_res_spark.datagen import EMB_DIM, hashed_ngram_embedding
+
+    aliases = ranking.clean_aliases(kb)
+    queries = _queries(spark, "London", "Lvndon")
+    emb_kb = spark.createDataFrame(
+        [(r["alias"], hashed_ngram_embedding(r["alias"], EMB_DIM).tolist())
+         for r in kb.collect()],
+        "key string, emb array<float>",
+    )
+    for df in (
+        ranking.perfect_match(queries, aliases),
+        ranking.embedding_match(queries, aliases, emb_kb),
+    ):
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, analyzed
+        assert "UnresolvedHint" not in analyzed, analyzed
