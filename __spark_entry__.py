@@ -439,6 +439,166 @@ def q_a7_pairwise_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluate_pairwise_f1(clusters, pairs)
 
 
+# spacing/hyphen variants of canonical surfaces: norm-key-blockable
+# mention workload for the blocked fuzzy path (J3b)
+VARIANT_MENTIONS_SQL = """
+SELECT DISTINCT CASE CAST(c_custkey % 2 AS INT)
+         WHEN 0 THEN replace(lower(n_name), ' ', '')
+         ELSE replace(lower(n_name), ' ', '-')
+       END AS mention
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def q_j3b_blocked_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3b — the BLOCKED fuzzy path, oracle-checked: norm-key blocking
+    (RE2-expressible — mirrored in DuckDB) + salted co-location join +
+    Arrow-batched DL scoring + keep-all-ties top-1. Unlike q_j3 (which
+    cross-joins for oracle parity), this drives the engine's actual
+    scale path: only pairs sharing a block key are ever scored."""
+    from pyspark.sql import Window
+
+    from t_res_spark.operators.blocking import salted, with_block_keys
+    from t_res_spark.operators.ranking import dl_sim_udf
+
+    _register(spark, sf_dir)
+    mentions = spark.sql(VARIANT_MENTIONS_SQL)
+    aliases = spark.sql(f"SELECT DISTINCT alias FROM ({ALIASES_SQL})")
+    m = with_block_keys(mentions, "mention").filter(
+        F.col("block_key").startswith("n:")
+    )
+    a = with_block_keys(aliases, "alias").filter(
+        F.col("block_key").startswith("n:")
+    )
+    m_s, a_s = salted(m, a, salt_factor=8)
+    pairs = (
+        m_s.join(a_s, ["block_key", "block_salt"])
+        .select("mention", F.col("alias").alias("variation"))
+        .distinct()
+    )
+    scored = pairs.withColumn(
+        "score", dl_sim_udf(F.col("mention"), F.col("variation"))
+    ).filter(F.col("score") >= 0.5)
+    w = Window.partitionBy("mention").orderBy(F.desc("score"))
+    return (
+        scored.withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("mention", "variation", "score")
+    )
+
+
+def q_j4b_jarowinkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4b — Jaro-Winkler as a first-class find_candidates method
+    (the reference ANN role names JW, ranking.py:471-568). DuckDB's
+    jaro_winkler is the rapidfuzz non-greedy variant — NOT reproducible
+    — so this is rows-only; golden values live in tests/test_similarity."""
+    from t_res_spark.operators.ranking import find_candidates
+
+    _register(spark, sf_dir)
+    queries = _mentions_df(spark).select("mention").distinct()
+    return find_candidates(
+        queries, _aliases_df(spark), method="jarowinkler", threshold=0.85
+    )
+
+
+def q_f4_ocr_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — fuzz.ratio OCR-variant classification
+    (deezy_processing.py:52-85): half-split Indel ratios gate
+    positive/negative labels. Indel distance has no DuckDB analog →
+    rows-only; kernel goldens in tests/test_similarity."""
+    from t_res_spark.operators.ranking import classify_ocr_variants
+
+    _register(spark, sf_dir)
+    pairs = spark.sql(
+        """
+        SELECT lower(n_name) AS word,
+               translate(lower(n_name), 'aeiou', 'eioua') AS nn_word,
+               n_nationkey % 2 = 0 AS nn_is_english
+        FROM nation
+        UNION ALL
+        SELECT lower(n_name), lower(n_name) || 'x', n_nationkey % 3 = 0
+        FROM nation
+        """
+    )
+    return classify_ocr_variants(pairs)
+
+
+def q_a1_alias_invert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — alias-map inversion with per-QID normalized relevance
+    (wikidata_to_mentions orientation, geoparser/ranking.py:154-184)."""
+    from t_res_spark.operators.linking import invert_alias_map
+
+    _register(spark, sf_dir)
+    return invert_alias_map(_aliases_df(spark))
+
+
+def q_j7_align_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 — B-/I-/O position-rule token labelling
+    (process_data.py:130-196): tokens built so all three labels occur
+    (start==gold_start → B-, inside → I-, overhang/no-span → O)."""
+    from t_res_spark.operators.alignment import align_gold_tokens
+
+    _register(spark, sf_dir)
+    tokens = spark.sql(
+        """
+        SELECT CAST(l_orderkey AS STRING) AS conv_id, 0 AS turn_idx,
+               l_linenumber * 10 + CASE WHEN l_partkey % 7 = 0 THEN 7
+                                        ELSE CAST(l_partkey % 3 AS INT) END AS tok_start,
+               l_linenumber * 10 + CASE WHEN l_partkey % 7 = 0 THEN 7
+                                        ELSE CAST(l_partkey % 3 AS INT) END + 3 AS tok_end
+        FROM lineitem WHERE l_linenumber <= 4
+        """
+    )
+    gold = spark.sql(
+        """
+        SELECT CAST(l_orderkey AS STRING) AS conv_id, 0 AS turn_idx,
+               l_linenumber * 10 AS gold_start,
+               l_linenumber * 10 + 8 AS gold_end,
+               'loc' AS gold_type,
+               'Q' || CAST(CAST(l_partkey % 50 AS INT) AS STRING) AS gold_qid
+        FROM lineitem WHERE l_linenumber <= 3
+        """
+    )
+    return align_gold_tokens(tokens, gold)
+
+
+# stringified list-of-dict experiment rows (the reference's TSV batch
+# shape, process_data.py:47-128) — built identically on both engines;
+# only Spark PARSES it (from_json), the oracle constructs the expected
+# output rows directly.
+ANNOT_ROWS_SQL = """
+SELECT c_custkey AS article_id,
+       '[{"sentence_pos":1,"sentence_text":"' || lower(n_name)
+         || ' one"},{"sentence_pos":2,"sentence_text":"' || lower(n_name)
+         || ' two"}]' AS sentences,
+       '[{"sent_pos":1,"mention":"' || lower(n_name)
+         || '","entity_type":"LOC","wkdt_qid":'
+         || CASE CAST(c_custkey % 3 AS INT)
+              WHEN 0 THEN '"*"'
+              WHEN 1 THEN 'null'
+              ELSE '"Q' || CAST(c_nationkey AS STRING) || '"'
+            END
+         || ',"mention_start":0,"mention_end":5}]' AS annotations
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def q_m1_parse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/S7 — from_json parse of stringified sentences/annotations
+    list-of-dict columns + double explode + sent_pos join
+    (process_data.py:18-128), incl. the NIL rule for '*'/non-string
+    links. The oracle builds the expected rows directly — the parse
+    itself is what's under test."""
+    from t_res_spark.sources.ingest import annotated_sentences
+
+    _register(spark, sf_dir)
+    rows = spark.sql(ANNOT_ROWS_SQL)
+    return annotated_sentences(rows).select(
+        "article_id", "sent_pos", "sentence_text", "mention",
+        "entity_type", "mention_start", "mention_end", "qid",
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup / text-analysis / similarity-search queries
 # ---------------------------------------------------------------------------
@@ -749,7 +909,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml1_extract_tokens": q_ml1_extract_tokens,
         "s6_embedding_topk": q_s6_embedding_topk,
         "mm_media_features": q_mm_media_features,
+        "m1_parse_ingest": q_m1_parse_ingest,
+        "j3b_blocked_fuzzy": q_j3b_blocked_fuzzy,
+        "a1_alias_invert": q_a1_alias_invert,
+        "j7_align_gold": q_j7_align_gold,
         # rows-only (non-SQL-expressible)
+        "j4b_jarowinkler": q_j4b_jarowinkler,
+        "f4_ocr_variants": q_f4_ocr_variants,
         "er_clusters": q_er_clusters,
         "ctx_disambiguate": q_ctx_disambiguate,
         "d2_minhash_clusters": q_d2_minhash_clusters,
@@ -1083,6 +1249,92 @@ def oracle_sql() -> dict[str, str]:
               SELECT unnest(regexp_extract_all(text, '[a-z]{4,}')) AS token
               FROM documents
             ) GROUP BY token
+        """,
+        "j3b_blocked_fuzzy": f"""
+            WITH m AS (
+              SELECT mention,
+                     regexp_replace(mention, '[^a-z0-9]', '', 'g') AS bk
+              FROM ({VARIANT_MENTIONS_SQL})
+            ), a AS (
+              SELECT DISTINCT alias AS variation,
+                     regexp_replace(lower(alias), '[^a-z0-9]', '', 'g') AS bk
+              FROM ({ALIASES_SQL})
+            ), scored AS (
+              SELECT m.mention, a.variation,
+                     1.0 - CAST(damerau_levenshtein(m.mention, a.variation) AS DOUBLE)
+                           / greatest(length(m.mention), length(a.variation)) AS score
+              FROM m JOIN a ON m.bk = a.bk
+              WHERE length(m.bk) > 0
+            )
+            SELECT mention, variation, score FROM scored
+            WHERE score >= 0.5
+            QUALIFY dense_rank() OVER (PARTITION BY mention ORDER BY score DESC) = 1
+        """,
+        "a1_alias_invert": f"""
+            SELECT qid, alias, abs_relv,
+                   abs_relv / sum(abs_relv) OVER (PARTITION BY qid) AS relv_norm
+            FROM (
+              SELECT qid, alias, max(abs_relv) AS abs_relv
+              FROM ({ALIASES_SQL}) GROUP BY qid, alias
+            )
+        """,
+        "j7_align_gold": """
+            WITH tokens AS (
+              SELECT CAST(l_orderkey AS STRING) AS conv_id, 0 AS turn_idx,
+                     l_linenumber * 10 + CASE WHEN l_partkey % 7 = 0 THEN 7
+                                              ELSE CAST(l_partkey % 3 AS INT) END AS tok_start,
+                     l_linenumber * 10 + CASE WHEN l_partkey % 7 = 0 THEN 7
+                                              ELSE CAST(l_partkey % 3 AS INT) END + 3 AS tok_end
+              FROM lineitem WHERE l_linenumber <= 4
+            ), gold AS (
+              SELECT CAST(l_orderkey AS STRING) AS conv_id, 0 AS turn_idx,
+                     l_linenumber * 10 AS gold_start,
+                     l_linenumber * 10 + 8 AS gold_end,
+                     'LOC' AS gold_type,
+                     'Q' || CAST(CAST(l_partkey % 50 AS INT) AS STRING) AS gold_qid
+              FROM lineitem WHERE l_linenumber <= 3
+            )
+            SELECT conv_id, turn_idx, tok_start, tok_end,
+                   CASE WHEN gold_start IS NULL THEN 'O'
+                        WHEN tok_start = gold_start THEN 'B-' || gold_type
+                        ELSE 'I-' || gold_type END AS entity,
+                   CASE WHEN gold_start IS NULL THEN 'O'
+                        WHEN tok_start = gold_start THEN 'B-' || gold_qid
+                        ELSE 'I-' || gold_qid END AS link,
+                   1.0 AS score
+            FROM (
+              SELECT t.conv_id, t.turn_idx, t.tok_start, t.tok_end,
+                     g.gold_start, g.gold_type, g.gold_qid,
+                     row_number() OVER (
+                       PARTITION BY t.conv_id, t.turn_idx, t.tok_start
+                       ORDER BY g.gold_start ASC, g.gold_qid ASC) AS rn
+              FROM tokens t LEFT JOIN gold g
+                ON t.conv_id = g.conv_id AND t.turn_idx = g.turn_idx
+               AND t.tok_start >= g.gold_start AND t.tok_end <= g.gold_end
+            ) WHERE rn = 1
+        """,
+        "m1_parse_ingest": """
+            WITH base AS (
+              SELECT c_custkey AS article_id, lower(n_name) AS nm,
+                     CAST(c_custkey % 3 AS INT) AS r,
+                     'Q' || CAST(c_nationkey AS STRING) AS qid
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+            ), s AS (
+              SELECT article_id, 1 AS sent_pos, nm || ' one' AS sentence_text,
+                     nm, r, qid FROM base
+              UNION ALL
+              SELECT article_id, 2 AS sent_pos, nm || ' two' AS sentence_text,
+                     nm, r, qid FROM base
+            )
+            SELECT article_id, sent_pos, sentence_text,
+                   CASE WHEN sent_pos = 1 THEN nm END AS mention,
+                   CASE WHEN sent_pos = 1 THEN 'LOC' END AS entity_type,
+                   CASE WHEN sent_pos = 1 THEN 0 END AS mention_start,
+                   CASE WHEN sent_pos = 1 THEN 5 END AS mention_end,
+                   CASE WHEN sent_pos = 1 THEN
+                     CASE WHEN r IN (0, 1) THEN 'NIL' ELSE qid END
+                   END AS qid
+            FROM s
         """,
         "mm_media_features": """
             -- DuckDB sha256(VARCHAR) hashes the UTF-8 bytes — identical

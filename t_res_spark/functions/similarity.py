@@ -175,12 +175,82 @@ def jaro_winkler_similarity(
     return jaro + prefix * prefix_weight * (1.0 - jaro)
 
 
+def _lcs_length(s1: str, s2: str) -> int:
+    """Longest-common-subsequence length (rolling 1-row DP)."""
+    if not s1 or not s2:
+        return 0
+    prev = [0] * (len(s2) + 1)
+    for c1 in s1:
+        cur = [0] * (len(s2) + 1)
+        for j, c2 in enumerate(s2, 1):
+            cur[j] = prev[j - 1] + 1 if c1 == c2 else max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[-1]
+
+
+def fuzz_ratio(s1: str, s2: str) -> float:
+    """F4 — ``fuzz.ratio`` on the 0-100 scale: the Indel-normalized
+    similarity ``100 * 2*LCS / (len1+len2)`` (exact rational — identical
+    in every correct implementation, unlike Jaro-Winkler's variants).
+    The reference thresholds this to classify OCR variants
+    (/root/reference/utils/deezy_processing.py:68-83)."""
+    if _rf_fuzz is not None:
+        return float(_rf_fuzz.ratio(s1, s2))
+    if not s1 and not s2:
+        return 100.0
+    return 100.0 * (2 * _lcs_length(s1, s2)) / (len(s1) + len(s2))
+
+
 # ---------------------------------------------------------------------------
 # batch kernels (pandas Series in/out — used inside pandas UDFs)
 # ---------------------------------------------------------------------------
 
+# rapidfuzz (C++) is used when importable — ~100x the pure-Python DP
+# kernels; the fallbacks compute the *identical integer distances*
+# (OSA / unrestricted DL / Indel), so results are bit-equal either way.
+# Jaro-Winkler deliberately has NO rapidfuzz path: rapidfuzz's JW is the
+# non-greedy variant and would silently change golden values.
+try:  # pragma: no cover - not installed in the sandbox
+    from rapidfuzz import fuzz as _rf_fuzz
+    from rapidfuzz.distance import OSA as _rf_osa
+    from rapidfuzz.distance import DamerauLevenshtein as _rf_dl
+except ImportError:
+    _rf_fuzz = _rf_osa = _rf_dl = None
+
+
+def fuzz_ratio_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [fuzz_ratio(x, y) for x, y in zip(a.astype(str), b.astype(str))],
+        index=a.index,
+        dtype="float64",
+    )
+
+
+def dl_sim_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Unrestricted-DL similarity batch (DuckDB-exact), rapidfuzz-
+    accelerated when available."""
+    if _rf_dl is not None:
+        out = []
+        for x, y in zip(a.astype(str), b.astype(str)):
+            xl, yl = x.lower(), y.lower()
+            m = max(len(xl), len(yl))
+            out.append(1.0 if m == 0 else 1.0 - _rf_dl.distance(xl, yl) / m)
+        return pd.Series(out, index=a.index, dtype="float64")
+    return pd.Series(
+        [dl_similarity(x, y) for x, y in zip(a.astype(str), b.astype(str))],
+        index=a.index,
+        dtype="float64",
+    )
+
 
 def damlev_sim_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    if _rf_osa is not None:
+        out = []
+        for x, y in zip(a.astype(str), b.astype(str)):
+            xl, yl = x.lower(), y.lower()
+            m = max(len(xl), len(yl))
+            out.append(1.0 if m == 0 else 1.0 - _rf_osa.distance(xl, yl) / m)
+        return pd.Series(out, index=a.index, dtype="float64")
     return pd.Series(
         [damlev_similarity(x, y) for x, y in zip(a.astype(str), b.astype(str))],
         index=a.index,

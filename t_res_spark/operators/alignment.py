@@ -124,3 +124,58 @@ def dedup_alias_casing(aliases: DataFrame) -> DataFrame:
         .select("alias")
     )
     return aliases.join(keep, "alias", "left_semi")
+
+
+def align_gold_tokens(tokens: DataFrame, gold: DataFrame) -> DataFrame:
+    """J7 — B-/I- position-rule labelling of predicted tokens against
+    gold spans (/root/reference/utils/process_data.py:130-196
+    ``align_gold``): a token is
+
+    - ``B-<TYPE>`` when ``tok_start == gold_start`` and
+      ``tok_end <= gold_end`` (first token of the entity),
+    - ``I-<TYPE>`` when ``tok_start > gold_start`` and
+      ``tok_end <= gold_end`` (inside the entity),
+    - ``O`` otherwise (incl. tokens overhanging the span end — exactly
+      the reference's fall-through).
+
+    ``link`` is labelled with the same prefixes over ``gold_qid``
+    (process_data.py:186-190). Gold spans are non-overlapping in the
+    reference's data; if they do overlap, the earliest-starting
+    (then lexicographic-qid) span wins deterministically, where the
+    reference's dict-iteration order is last-write.
+
+    tokens: (conv_id, turn_idx, tok_start, tok_end)
+    gold:   (conv_id, turn_idx, gold_start, gold_end, gold_type, gold_qid)
+    """
+    g = gold.select(
+        "conv_id", "turn_idx", "gold_start", "gold_end",
+        F.upper("gold_type").alias("gold_type"), "gold_qid",
+    )
+    joined = tokens.join(
+        g,
+        [
+            tokens["conv_id"] == g["conv_id"],
+            tokens["turn_idx"] == g["turn_idx"],
+            tokens["tok_start"] >= g["gold_start"],
+            tokens["tok_end"] <= g["gold_end"],
+        ],
+        "left",
+    ).select(tokens["*"], "gold_start", "gold_type", "gold_qid")
+    w = Window.partitionBy("conv_id", "turn_idx", "tok_start").orderBy(
+        F.asc("gold_start"), F.asc("gold_qid")
+    )
+    prefix = F.when(F.col("tok_start") == F.col("gold_start"), "B-").otherwise("I-")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "conv_id", "turn_idx", "tok_start", "tok_end",
+            F.when(F.col("gold_start").isNull(), "O")
+            .otherwise(F.concat(prefix, F.col("gold_type")))
+            .alias("entity"),
+            F.when(F.col("gold_start").isNull(), "O")
+            .otherwise(F.concat(prefix, F.col("gold_qid")))
+            .alias("link"),
+            F.lit(1.0).alias("score"),
+        )
+    )

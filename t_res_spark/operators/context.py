@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -153,10 +153,80 @@ def _conv_coherence(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+KEEP_CTX_ENT = 3  # entity_disambiguation.py:138 (keep_ctx_ent)
+KEEP_P_E_M = 4  # entity_disambiguation.py:137 (keep_p_e_m)
+
+
+def prerank_truncate(
+    rows: DataFrame,
+    keep_ctx_ent: int = KEEP_CTX_ENT,
+    keep_p_e_m: int = KEEP_P_E_M,
+) -> DataFrame:
+    """W4/ML4 — the PreRank candidate truncation
+    (/root/reference/utils/REL/entity_disambiguation.py:740-776,
+    mulrel_ranker.py:7-65): before the expensive per-document model,
+    keep only the top ``keep_ctx_ent`` candidates by context score ∪
+    the top ``keep_p_e_m`` by prior (≤ 7 rows per mention — the
+    reference fills to exactly 7 from the prior ordering; the union
+    bound is the same and keeps this a pure two-window plan).
+
+    Context score = cosine(candidate embedding, conversation context
+    embedding), where the context embedding is the sum of the
+    conversation's distinct mention-surface embeddings — the
+    deterministic analog of PreRank's context-word · entity-embedding
+    dot products. All native column math; this is what BOUNDS the
+    applyInPandas group size on hot surfaces.
+
+    Pinned anchor rows (is_prior, U4) always survive."""
+    from .similarity_search import cosine
+
+    ment = (
+        rows.select("conv_id", "mention").distinct()
+        .withColumn("m_emb", _embed_expr("mention"))
+    )
+    ctx = ment.groupBy("conv_id").agg(
+        F.aggregate(
+            F.collect_list("m_emb"),
+            F.array_repeat(F.lit(0.0), EMB_DIM),
+            lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y.cast("double")),
+        ).alias("ctx_emb")
+    )
+    scored = rows.join(ctx, "conv_id").withColumn(
+        "ctx_score", cosine(F.col("emb"), F.col("ctx_emb"))
+    )
+    by_prior = Window.partitionBy("conv_id", "mention_id").orderBy(
+        F.desc("prior"), F.asc("qid")
+    )
+    by_ctx = Window.partitionBy("conv_id", "mention_id").orderBy(
+        F.desc("ctx_score"), F.asc("qid")
+    )
+    return (
+        scored.withColumn("rank_prior", F.row_number().over(by_prior))
+        .withColumn("rank_ctx", F.row_number().over(by_ctx))
+        .filter(
+            (F.col("rank_prior") <= keep_p_e_m)
+            | (F.col("rank_ctx") <= keep_ctx_ent)
+            | (F.col("is_prior") & (F.col("qid") == F.col("prior_qid")))
+        )
+        .drop("ctx_emb", "ctx_score", "rank_prior", "rank_ctx")
+    )
+
+
+def _embed_expr(col: str):
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def embed_udf(s: pd.Series) -> pd.Series:
+        return s.astype(str).map(
+            lambda x: hashed_ngram_embedding(x, EMB_DIM).tolist()
+        )
+
+    return embed_udf(col)
+
+
 def context_disambiguate(
     mentions: DataFrame,
     candidates: DataFrame,
     origins: DataFrame | None = None,
+    prerank: bool = True,
 ) -> DataFrame:
     """mentions(conv_id, mention_id, mention[, is_prior, prior_qid]) ×
     candidates(mention, qid, relv, abs_relv) → per-mention contextual
@@ -169,24 +239,20 @@ def context_disambiguate(
             "prior_qid", F.lit(None).cast("string")
         )
 
-    @F.pandas_udf(T.ArrayType(T.FloatType()))
-    def embed_udf(s: pd.Series) -> pd.Series:
-        return s.astype(str).map(lambda x: hashed_ngram_embedding(x, EMB_DIM).tolist())
-
     # normalized prior per (mention, qid): abs_relv / sum over mention
-    from pyspark.sql import Window
-
     w = Window.partitionBy("mention")
     priored = (
         candidates.groupBy("mention", "qid")
         .agg(F.max("abs_relv").alias("abs_relv"))
         .withColumn("prior", F.col("abs_relv") / F.sum("abs_relv").over(w))
-        .withColumn("emb", embed_udf("qid"))
+        .withColumn("emb", _embed_expr("qid"))
     )
     rows = mentions.join(priored, "mention", "inner").select(
         "conv_id", "mention_id", "mention", "qid", "prior", "emb",
         "is_prior", "prior_qid",
     )
+    if prerank:
+        rows = prerank_truncate(rows)
     return rows.groupBy("conv_id").applyInPandas(
         _conv_coherence, schema=CONTEXT_OUT_SCHEMA
     )

@@ -156,6 +156,26 @@ def extract_mentions_from_text(text: str) -> list[tuple[str, int, int]]:
     return mentions
 
 
+def token_ner_score(tok: str) -> float:
+    """Deterministic stand-in for the model's per-token confidence:
+    entity-shaped (capitalized) tokens score high, rising slightly with
+    length (longer surface forms are less ambiguous, which is how the
+    reference's BERT confidences trend); lowercase connector tokens
+    score a flat 0.85. Range [0.85, 0.99]."""
+    if _CAP_TOKEN.match(tok):
+        return 0.9 + min(len(tok), 9) / 100.0
+    return 0.85
+
+
+def mention_ner_score(mention: str) -> float:
+    """Per-mention score = mean of token scores rounded to 3 dp —
+    exactly the reference's consolidation (utils/ner.py:254-260)."""
+    toks = _TOKEN_WITH_POS.findall(mention)
+    if not toks:
+        return 0.0
+    return round(sum(token_ner_score(t) for t in toks) / len(toks), 3)
+
+
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out: dict[str, list] = {
@@ -179,10 +199,9 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 out["mention"].append(mention)
                 out["start_char"].append(s)
                 out["end_char"].append(e)
-                # deterministic stand-in for the model confidence; the
-                # reference averages token scores + round(.,3)
+                # mean of deterministic token scores, rounded to 3 dp
                 # (utils/ner.py:254-260)
-                out["ner_score"].append(1.0)
+                out["ner_score"].append(mention_ner_score(mention))
                 out["tag"].append("LOC")
         yield pd.DataFrame(out)
 

@@ -157,6 +157,37 @@ def rank_candidates(candidates: DataFrame, round_dp: int | None = 3) -> DataFram
     )
 
 
+def lr_confidence(score, a: float = 6.0, b: float = -3.0):
+    """ML6 — closed-form logistic-regression confidence:
+    ``sigmoid(a*score + b)``.
+
+    The reference scores its ED output with a scikit LogisticRegression
+    over the best candidate score
+    (/root/reference/utils/REL/entity_disambiguation.py:473-494
+    ``__compute_confidence`` → predict_proba on X = [[best_score]]);
+    predict_proba of a 1-feature LR IS sigmoid(coef*x + intercept), so
+    the distributed form is one native column expression with fixed
+    (a, b) standing in for the offline-trained coefficients. Defaults
+    map score 0.5 → confidence 0.5, score 1.0 → ≈0.953."""
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(a) * score + F.lit(b))))
+
+
+def invert_alias_map(aliases: DataFrame) -> DataFrame:
+    """A1 — alias-map inversion: mentions_to_wikidata →
+    wikidata_to_mentions (/root/reference/geoparser/ranking.py:154-184
+    load surface; the reference materialises both dict orientations
+    offline). Output: one row per (qid, alias) with the per-QID
+    normalized relevance ``relv_norm = abs_relv / sum(abs_relv) over
+    qid`` — a map-side-combinable groupBy + window, no driver state."""
+    w = Window.partitionBy("qid")
+    return (
+        aliases.groupBy("qid", "alias")
+        .agg(F.max("abs_relv").alias("abs_relv"))
+        .withColumn("relv_norm", F.col("abs_relv") / F.sum("abs_relv").over(w))
+        .select("qid", "alias", "abs_relv", "relv_norm")
+    )
+
+
 def link_mentions(
     mentions: DataFrame,
     predictions: DataFrame,
@@ -170,6 +201,7 @@ def link_mentions(
         mentions.join(predictions, "mention", "left")
         .withColumn("prediction", F.coalesce(F.col("prediction"), F.lit(NIL)))
         .withColumn("link_score", F.coalesce(F.col("link_score"), F.lit(0.0)))
+        .withColumn("lr_conf", lr_confidence(F.col("link_score")))
     )
     if entities is not None:
         decor = entities.select(

@@ -38,7 +38,8 @@ from pyspark.sql.functions import pandas_udf
 from ..functions.similarity import (
     containment_score,
     damlev_sim_batch,
-    dl_similarity,
+    dl_sim_batch,
+    fuzz_ratio_batch,
     jaro_winkler_batch,
 )
 from ..functions.text import alias_noise_filter
@@ -52,16 +53,66 @@ def damlev_sim_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 
 @pandas_udf(T.DoubleType())
 def dl_sim_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(
-        [dl_similarity(x, y) for x, y in zip(a.astype(str), b.astype(str))],
-        index=a.index,
-        dtype="float64",
-    )
+    return dl_sim_batch(a, b)
 
 
 @pandas_udf(T.DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return jaro_winkler_batch(a, b)
+
+
+@pandas_udf(T.DoubleType())
+def fuzz_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return fuzz_ratio_batch(a, b)
+
+
+def classify_ocr_variants(
+    pairs: DataFrame,
+    fuzz_ratio_threshold: float = 50.0,
+) -> DataFrame:
+    """F4 — the reference's fuzz.ratio OCR-variant classifier
+    (/root/reference/utils/deezy_processing.py:52-85), re-expressed as
+    one DataFrame pass.
+
+    Input: pairs(word, nn_word, nn_is_english). Each word is split in
+    half (native substring math); the two half-ratios gate the label:
+
+    - ``positive`` (an OCR variation): nn_word is NOT an English word
+      and both half-ratios exceed the threshold;
+    - ``negative``: nn_word IS English, both half-ratios are below
+      100 - threshold, and the lengths differ by ≤ 2;
+    - ``neutral`` otherwise (the reference simply skips these).
+
+    The halves are computed as columns so the only Python is the
+    Arrow-batched fuzz_ratio kernel on the half strings."""
+    half_w = (F.length("word") / 2).cast("int")
+    half_n = (F.length("nn_word") / 2).cast("int")
+    scored = (
+        pairs.withColumn("w1", F.substring(F.col("word"), 1, half_w))
+        .withColumn("w2", F.col("word").substr(half_w + 1, F.length("word")))
+        .withColumn("n1", F.substring(F.col("nn_word"), 1, half_n))
+        .withColumn("n2", F.col("nn_word").substr(half_n + 1, F.length("nn_word")))
+        .withColumn("r1", fuzz_ratio_udf("n1", "w1"))
+        .withColumn("r2", fuzz_ratio_udf("n2", "w2"))
+    )
+    thr = F.lit(fuzz_ratio_threshold)
+    len_diff = F.length("word") - F.length("nn_word")
+    return scored.withColumn(
+        "label",
+        F.when(
+            (~F.col("nn_is_english")) & (F.col("r1") > thr) & (F.col("r2") > thr),
+            F.lit("positive"),
+        )
+        .when(
+            F.col("nn_is_english")
+            & (F.col("r1") < 100 - thr)
+            & (F.col("r2") < 100 - thr)
+            & (len_diff >= -2)
+            & (len_diff <= 2),
+            F.lit("negative"),
+        )
+        .otherwise(F.lit("neutral")),
+    ).select("word", "nn_word", "nn_is_english", "r1", "r2", "label")
 
 
 def clean_aliases(aliases: DataFrame) -> DataFrame:
@@ -229,6 +280,32 @@ def resolve_candidates(matches: DataFrame, aliases: DataFrame) -> DataFrame:
     ).select("mention", "variation", "score", "qid", "relv", "abs_relv")
 
 
+def _blocked_udf_match(
+    queries: DataFrame,
+    aliases: DataFrame,
+    score_udf,
+    threshold: float,
+    top_k: int,
+    salt_factor: int,
+) -> DataFrame:
+    """Shared shape of the UDF-scored methods: exact short-circuit +
+    blocked pair space + Arrow-batched score + threshold + deterministic
+    top-k per query surface."""
+    exact = perfect_match(queries, aliases)
+    missed = queries.join(exact.select("mention"), "mention", "left_anti")
+    pairs = _blocked_pairs(missed, aliases, salt_factor)
+    scored = pairs.withColumn(
+        "score", score_udf(F.col("mention"), F.col("variation"))
+    ).filter(F.col("score") >= F.lit(threshold))
+    w = Window.partitionBy("mention").orderBy(F.desc("score"), F.asc("variation"))
+    topk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select("mention", "variation", "score")
+    )
+    return exact.unionByName(topk)
+
+
 def find_candidates(
     queries: DataFrame,
     aliases: DataFrame,
@@ -243,6 +320,10 @@ def find_candidates(
     ``fuzzy`` (the engine default; DeezyMatch role): exact short-circuit
     + blocked Damerau-Levenshtein with threshold + top-k — the string
     measure the north star names, cheap enough without an ANN model.
+    ``jarowinkler``: same shape with the Jaro-Winkler measure (the other
+    measure the north star names; reference ANN role,
+    /root/reference/geoparser/ranking.py:471-568). JW thresholds run
+    higher than DL — 0.85+ is typical for OCR variants.
     """
     aliases = clean_aliases(aliases)
     if method == "perfectmatch":
@@ -257,19 +338,13 @@ def find_candidates(
             queries, aliases, embeddings_kb, threshold, top_k, salt_factor
         )
     elif method == "fuzzy":
-        exact = perfect_match(queries, aliases)
-        missed = queries.join(exact.select("mention"), "mention", "left_anti")
-        pairs = _blocked_pairs(missed, aliases, salt_factor)
-        scored = pairs.withColumn(
-            "score", damlev_sim_udf(F.col("mention"), F.col("variation"))
-        ).filter(F.col("score") >= F.lit(threshold))
-        w = Window.partitionBy("mention").orderBy(F.desc("score"), F.asc("variation"))
-        topk = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= top_k)
-            .select("mention", "variation", "score")
+        matches = _blocked_udf_match(
+            queries, aliases, damlev_sim_udf, threshold, top_k, salt_factor
         )
-        matches = exact.unionByName(topk)
+    elif method == "jarowinkler":
+        matches = _blocked_udf_match(
+            queries, aliases, jaro_winkler_udf, threshold, top_k, salt_factor
+        )
     else:
         raise ValueError(f"unknown ranking method: {method}")
     return resolve_candidates(matches, aliases)

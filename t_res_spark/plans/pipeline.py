@@ -35,7 +35,8 @@ class PipelineConfig:
     (pipeline.py:95-106 defaults: perfectmatch + mostpopular; our
     default is the fuzzy DeezyMatch-analog ranker)."""
 
-    ranking_method: str = "fuzzy"  # perfectmatch|partialmatch|levenshtein|embcosine|fuzzy
+    # perfectmatch|partialmatch|levenshtein|embcosine|fuzzy|jarowinkler
+    ranking_method: str = "fuzzy"
     linking_method: str = "mostpopular"  # mostpopular|bydistance
     fuzzy_threshold: float = 0.7
     top_k: int = 3

@@ -98,3 +98,23 @@ def test_context_disambiguation_flips_ambiguous(spark):
     out2 = {r["mention_id"]: r["prediction"]
             for r in context_disambiguate(mentions, candidates).collect()}
     assert out == out2
+
+
+def test_align_gold_tokens_bio_rules(spark):
+    """J7 — B-/I-/O position rules (process_data.py:160-190 goldens):
+    start==gold_start -> B-, inside -> I-, overhang/no-span -> O."""
+    from t_res_spark.operators.alignment import align_gold_tokens
+
+    tokens = spark.createDataFrame(
+        [("c", 0, 10, 14), ("c", 0, 15, 18), ("c", 0, 16, 25), ("c", 0, 40, 44)],
+        "conv_id string, turn_idx int, tok_start int, tok_end int",
+    )
+    gold = spark.createDataFrame(
+        [("c", 0, 10, 18, "loc", "Q84")],
+        "conv_id string, turn_idx int, gold_start int, gold_end int, gold_type string, gold_qid string",
+    )
+    got = {r["tok_start"]: (r["entity"], r["link"]) for r in align_gold_tokens(tokens, gold).collect()}
+    assert got[10] == ("B-LOC", "B-Q84")
+    assert got[15] == ("I-LOC", "I-Q84")
+    assert got[16] == ("O", "O")   # overhangs gold_end -> reference fall-through
+    assert got[40] == ("O", "O")   # no gold span

@@ -51,3 +51,39 @@ def test_cluster_mentions_nil_singletons(spark):
     assert out["c:0:0"] == out["c:1:0"] == "c:0:0"
     assert out["c:2:0"] == "c:2:0"  # NIL singleton
     assert out["c:3:0"] == "c:3:0"  # lone entity mention
+
+
+def test_prerank_truncation_bounds_candidates(spark):
+    """W4 — top-keep_ctx_ent by context score ∪ top-keep_p_e_m by prior
+    bounds every mention's candidate rows at ≤ 7
+    (entity_disambiguation.py:137-139, 740-776)."""
+    from t_res_spark.operators.context import context_disambiguate, prerank_truncate
+    from t_res_spark.datagen import EMB_DIM, hashed_ngram_embedding
+    from pyspark.sql import functions as F
+
+    # one mention with 20 candidates
+    cands = spark.createDataFrame(
+        [("alpha", f"Q{i}", float(i), float(i * 100)) for i in range(20)],
+        "mention string, qid string, relv double, abs_relv double",
+    )
+    mentions = spark.createDataFrame(
+        [("c1", "m1", "alpha"), ("c1", "m2", "alpha")],
+        "conv_id string, mention_id string, mention string",
+    )
+    out = context_disambiguate(mentions, cands)
+    assert out.count() == 2  # still one prediction per mention
+
+    rows = (
+        mentions.join(
+            cands.groupBy("mention", "qid").agg(F.max("abs_relv").alias("abs_relv"))
+            .withColumn("prior", F.col("abs_relv") / F.lit(1.0)),
+            "mention",
+        )
+        .withColumn("emb", F.array(*[F.lit(0.1)] * EMB_DIM))
+        .withColumn("is_prior", F.lit(False))
+        .withColumn("prior_qid", F.lit(None).cast("string"))
+    )
+    kept = prerank_truncate(rows)
+    per_mention = kept.groupBy("mention_id").count().collect()
+    assert all(r["count"] <= 7 for r in per_mention)
+    assert all(r["count"] >= 4 for r in per_mention)

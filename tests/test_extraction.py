@@ -66,3 +66,27 @@ def test_extraction_matches_planted(spark, tiny_dir):
     want = planted.select("conv_id", "turn_idx", "mention", "start_char", "end_char")
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_mention_ner_score_goldens():
+    """A3 — mean of deterministic token scores, round 3dp
+    (utils/ner.py:254-260 consolidation)."""
+    from t_res_spark.operators.extraction import mention_ner_score, token_ner_score
+
+    assert token_ner_score("New") == 0.93          # 0.9 + 3/100
+    assert token_ner_score("of") == 0.85           # connector
+    assert token_ner_score("Ashton-under-Lyne") == 0.99  # len-capped
+    assert mention_ner_score("New York City") == 0.937   # (.93+.94+.94)/3
+    assert mention_ner_score("Isle of Wight") == 0.913   # (.94+.85+.95)/3
+    assert mention_ner_score("") == 0.0
+
+
+def test_extract_mentions_carries_real_ner_score(spark):
+    from t_res_spark.operators.extraction import extract_mentions
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "we saw New York City then", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    rows = extract_mentions(df).collect()
+    assert len(rows) == 1 and rows[0]["ner_score"] == 0.937

@@ -87,3 +87,21 @@ def test_rank_candidates_math(spark):
     # Q3: score==0 → qcm2w stays relv (rel_utils.py:214-216)
     assert out["Q3"]["qc_score"] == pytest.approx(round(((0.25 + 0.6) / 2) * 0.9, 3))
     assert out["Q1"]["cand_rank"] == 1
+
+
+def test_invert_alias_map(spark):
+    """A1 — per-QID normalized relevance after inversion."""
+    from t_res_spark.operators.linking import invert_alias_map
+
+    aliases = spark.createDataFrame(
+        [
+            ("london", "Q84", 0.8, 800.0),
+            ("lvndon", "Q84", 0.2, 200.0),
+            ("paris", "Q90", 1.0, 50.0),
+        ],
+        "alias string, qid string, relv double, abs_relv double",
+    )
+    got = {(r["qid"], r["alias"]): r["relv_norm"] for r in invert_alias_map(aliases).collect()}
+    assert got[("Q84", "london")] == 0.8
+    assert got[("Q84", "lvndon")] == 0.2
+    assert got[("Q90", "paris")] == 1.0

@@ -145,3 +145,38 @@ def test_no_forced_broadcast_on_unbounded_sides(spark, kb):
         analyzed = df._jdf.queryExecution().analyzed().toString()
         assert "ResolvedHint" not in analyzed, analyzed
         assert "UnresolvedHint" not in analyzed, analyzed
+
+
+def test_jarowinkler_method_golden(spark, kb):
+    """method='jarowinkler' in find_candidates: exact surfaces
+    short-circuit at 1.0; the OCR variant scores its JW value
+    (jaro_winkler_similarity('shefneld','sheffield') with the 0.7
+    boost) and resolves through the alias map."""
+    from t_res_spark.functions.similarity import jaro_winkler_similarity
+
+    out = ranking.find_candidates(
+        _queries(spark, "Sheffield", "Sheffeild"), kb, method="jarowinkler",
+        threshold=0.8,
+    )
+    rows = {(r["mention"], r["variation"]): r["score"] for r in out.collect()}
+    assert rows[("Sheffield", "Sheffield")] == 1.0
+    # 'Sheffeild' is NOT a KB alias (no exact short-circuit) but shares
+    # the phonetic block with 'Sheffield'
+    expected = jaro_winkler_similarity("sheffeild", "sheffield")
+    assert abs(rows[("Sheffeild", "Sheffield")] - expected) < 1e-12
+
+
+def test_classify_ocr_variants(spark):
+    """F4 — half-split fuzz.ratio gate (deezy_processing.py:52-85)."""
+    pairs = spark.createDataFrame(
+        [
+            ("sheffield", "shetfield", False),   # OCR variant -> positive
+            ("sheffield", "stratford", True),    # dissimilar English -> negative
+            ("sheffield", "sheffield", True),    # identical English -> neutral
+        ],
+        "word string, nn_word string, nn_is_english boolean",
+    )
+    got = {r["nn_word"]: r["label"] for r in ranking.classify_ocr_variants(pairs).collect()}
+    assert got["shetfield"] == "positive"
+    assert got["stratford"] == "negative"
+    assert got["sheffield"] == "neutral"

@@ -43,3 +43,32 @@ def test_jaro_winkler_basics():
         0.8133333333333332,
         rel_tol=1e-9,
     )
+
+
+def test_fuzz_ratio_goldens():
+    """F4 — Indel-normalized ratio, rapidfuzz semantics (exact rational,
+    no rounding): 100 * 2*LCS / (len1+len2)."""
+    from t_res_spark.functions.similarity import fuzz_ratio
+
+    assert fuzz_ratio("", "") == 100.0
+    assert fuzz_ratio("abc", "abc") == 100.0
+    assert fuzz_ratio("abc", "") == 0.0
+    # thefuzz/rapidfuzz canonical example: LCS=14, lens 14+15
+    assert abs(fuzz_ratio("this is a test", "this is a test!") - 2800 / 29) < 1e-12
+    # one substitution in the middle: LCS=5, lens 6+6
+    assert fuzz_ratio("london", "lvndon") == 1000 / 12
+
+
+def test_lr_confidence_golden(spark):
+    """ML6 — sigmoid(a*x+b) closed form (entity_disambiguation.py:473-494)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from t_res_spark.operators.linking import lr_confidence
+
+    df = spark.createDataFrame([(0.5,), (1.0,), (0.0,)], "s double")
+    got = {r["s"]: r["c"] for r in df.select("s", lr_confidence(F.col("s")).alias("c")).collect()}
+    assert abs(got[0.5] - 0.5) < 1e-12
+    assert abs(got[1.0] - 1 / (1 + math.exp(-3.0))) < 1e-12
+    assert abs(got[0.0] - 1 / (1 + math.exp(3.0))) < 1e-12
