@@ -59,3 +59,60 @@ def mention_sanity_filter(mention: Column) -> Column:
     """Keep mentions of length > 1 that are not all-lowercase
     (/root/reference/geoparser/pipeline.py:618)."""
     return (F.length(mention) > 1) & (mention != F.lower(mention))
+
+
+def normalize_wiki_url(url: Column) -> Column:
+    """F9 — consistent wiki-link key
+    (/root/reference/utils/process_wikipedia.py:6-37
+    ``make_wikilinks_consistent``): lowercase → percent-decode →
+    ``_`` → space → strip ``#fragment`` → percent-encode. All native
+    (``url_decode``/``url_encode``).
+
+    Encoding delta, documented: Spark's ``url_encode`` is the
+    form-encoding variant (space → ``+``) where Python's ``quote`` emits
+    ``%20``. The function's purpose is a CONSISTENT join key — both
+    sides of any lookup must use this same normalizer, which this
+    preserves; it is not byte-parity with the reference's dictionary
+    files (those are offline artifacts we don't ship)."""
+    decoded = F.url_decode(F.lower(url))
+    spaced = F.regexp_replace(decoded, "_", " ")
+    defragged = F.regexp_replace(spaced, "#.*$", "")
+    return F.url_encode(defragged)
+
+
+def wikipedia_to_wikidata_key(entity: Column) -> Column:
+    """F9 — the wikipedia2wikidata lookup key
+    (process_wikipedia.py:40-66): consistent link → decode →
+    space → ``_``."""
+    return F.regexp_replace(F.url_decode(normalize_wiki_url(entity)), " ", "_")
+
+
+def zfill_code(code: Column, width: int = 7) -> Column:
+    """F10 — ``str(code).zfill(7)`` for publication codes
+    (/root/reference/utils/preprocess_data.py:307): ``lpad`` with '0'."""
+    return F.lpad(code.cast("string"), width, "0")
+
+
+_BRACKETS = {
+    "-LCB-": "{", "-LRB-": "(", "-LSB-": "[",
+    "-RCB-": "}", "-RRB-": ")", "-RSB-": "]",
+}
+
+
+def normalize_vocab_token(
+    token: Column, lower: bool = True, digit_0: bool = True
+) -> Column:
+    """F13 — REL vocabulary token normalisation
+    (/root/reference/utils/REL/vocabulary.py:58-87): special tokens pass
+    through, PTB bracket escapes map to their glyphs, digits collapse to
+    '0' (when ``digit_0``), then optional lowercase — one CASE chain,
+    fully codegen'd."""
+    special = token.isin("#UNK#", "<s>", "</s>")
+    bracket = F.create_map(
+        *[F.lit(x) for kv in _BRACKETS.items() for x in kv]
+    )[token]
+    base = F.when(bracket.isNotNull(), bracket).otherwise(
+        F.regexp_replace(token, "[0-9]", "0") if digit_0 else token
+    )
+    normed = F.lower(base) if lower else base
+    return F.when(special, token).otherwise(normed)
