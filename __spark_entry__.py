@@ -818,6 +818,36 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, dim=dim, k=10)
 
 
+def q_ml2_bio_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML2 — BIO repair chain + mention aggregation
+    (recogniser.py:388-396 chain, ner.py:70-307). The chain is
+    sequential with self-dependencies (each fix reads the PREVIOUS
+    token's repaired tag), so it is not window-expressible → rows-only;
+    rule goldens live in tests/test_bio.py. Tokens are built so every
+    repair rule fires: hyphen runs, 'of' nesting, orphaned I- starts."""
+    from t_res_spark.operators.bio import repair_and_aggregate
+
+    _register(spark, sf_dir)
+    toks = spark.sql(
+        """
+        SELECT CAST(o_orderkey AS STRING) AS conv_id, 0 AS turn_idx,
+               CASE CAST(o_custkey % 3 AS INT)
+                 WHEN 0 THEN CASE t.i WHEN 0 THEN 'B-LOC' WHEN 1 THEN 'B-LOC' ELSE 'B-LOC' END
+                 WHEN 1 THEN CASE t.i WHEN 0 THEN 'B-LOC' WHEN 1 THEN 'I-LOC' ELSE 'B-LOC' END
+                 ELSE        CASE t.i WHEN 0 THEN 'I-LOC' WHEN 1 THEN 'O'     ELSE 'I-LOC' END
+               END AS entity,
+               CASE t.i WHEN 0 THEN 'Port' WHEN 1 THEN 'of' ELSE 'Spain' END AS word,
+               CASE t.i WHEN 0 THEN 0 WHEN 1 THEN 5 ELSE 8 END AS `start`,
+               CASE t.i WHEN 0 THEN 4 WHEN 1 THEN 7 ELSE 13 END AS `end`,
+               CAST(0.75 + (o_orderkey % 4) / 16 AS DOUBLE) AS score
+        FROM orders
+        LATERAL VIEW explode(array(0, 1, 2)) t AS i
+        WHERE o_orderkey % 37 = 0
+        """
+    )
+    return repair_and_aggregate(toks)
+
+
 def q_ctx_disambiguate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ML4/ML5 analog — per-conversation applyInPandas coherence loop
     (document = group = minibatch, entity_disambiguation.py:222,507;
@@ -916,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible)
         "j4b_jarowinkler": q_j4b_jarowinkler,
         "f4_ocr_variants": q_f4_ocr_variants,
+        "ml2_bio_repair": q_ml2_bio_repair,
         "er_clusters": q_er_clusters,
         "ctx_disambiguate": q_ctx_disambiguate,
         "d2_minhash_clusters": q_d2_minhash_clusters,

@@ -68,7 +68,9 @@ def main() -> None:
     audit("extract+distinct", surfaces)
 
     aliases = ranking.clean_aliases(aliases_raw)
-    audit("perfect_match (expect BHJ)", ranking.perfect_match(surfaces, aliases))
+    # no forced hint — AQE may promote to BHJ at runtime, the STATIC
+    # plan must not carry a broadcast on the alias side
+    audit("perfect_match (no forced hint)", ranking.perfect_match(surfaces, aliases))
 
     cands = ranking.find_candidates(surfaces, aliases, method="fuzzy")
     audit("fuzzy candidates", cands)
@@ -78,6 +80,13 @@ def main() -> None:
     audit("minhash signatures", minhash_signatures(spark.table("documents")))
     audit("q_w2_top7", entry_mod.q_w2_top7(spark, sf_dir))
     audit("q_opt_salted_agg", entry_mod.q_opt_salted_agg(spark, sf_dir))
+
+    from t_res_spark.operators.dedup import simhash, simhash_near_pairs
+    fps = simhash(spark.table("documents"))
+    audit("simhash (single-fold)", fps)
+    audit("simhash_near_pairs (banded)", simhash_near_pairs(fps))
+    audit("q_j3b_blocked_fuzzy", entry_mod.q_j3b_blocked_fuzzy(spark, sf_dir))
+    audit("q_m1_parse_ingest (from_json)", entry_mod.q_m1_parse_ingest(spark, sf_dir))
 
 
 if __name__ == "__main__":
