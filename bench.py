@@ -107,11 +107,12 @@ def main() -> None:
         bench_queries = []
     else:
         bench_queries = [
-        "j1_perfect_match", "j3_fuzzy_damlev", "a2_most_popular",
-        "w1_top1_ties", "w2_top7", "m4_edges_star",
+        "j1_perfect_match", "j3_fuzzy_damlev", "j3b_blocked_fuzzy",
+        "a2_most_popular", "w1_top1_ties", "w2_top7", "m4_edges_star",
         "d1_exact_dedup", "d2_minhash_clusters", "d3_simhash",
-        "t2_quality", "t3_token_counts", "s6_embedding_topk",
-        "ann_lsh_topk", "mm_media_features",
+        "d3b_simhash_pairs", "t2_quality", "t3_token_counts",
+        "s6_embedding_topk", "ann_lsh_topk", "mm_media_features",
+        "m1_parse_ingest", "j7_align_gold",
     ]
     for name in bench_queries:
         t0 = time.time()

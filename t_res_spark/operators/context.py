@@ -40,6 +40,7 @@ from ..datagen import EMB_DIM, hashed_ngram_embedding
 
 N_LOOPS = 10  # mulrel_ranker.py:403 (n_loops)
 DAMPING = 0.5  # mulrel_ranker.py:421 (df)
+ATT_TOP_N = 25  # tok_top_n (entity_disambiguation.py:140; W5 analog)
 
 CONTEXT_OUT_SCHEMA = T.StructType(
     [
@@ -116,6 +117,23 @@ def _conv_coherence(pdf: pd.DataFrame) -> pd.DataFrame:
             new_scores = {}
             for mid, cands in cand.items():
                 others = [best_emb[m] for m in mention_ids if m != mid]
+                if len(others) > ATT_TOP_N:
+                    # W5 — local-attention analog (mulrel_ranker.py:7-65
+                    # top-n attention): only the ATT_TOP_N context
+                    # embeddings most similar to this mention's current
+                    # best candidate contribute to its coherence, so the
+                    # per-iteration cost is bounded on conversations
+                    # with hundreds of mentions.
+                    own = best_emb[mid]
+                    own_n = own / max(np.linalg.norm(own), 1e-12)
+                    sims = np.array(
+                        [
+                            float(np.dot(o / max(np.linalg.norm(o), 1e-12), own_n))
+                            for o in others
+                        ]
+                    )
+                    keep = np.argsort(-sims, kind="stable")[:ATT_TOP_N]
+                    others = [others[i] for i in sorted(keep)]
                 if others:
                     ctx = np.mean(others, axis=0)
                     n = np.linalg.norm(ctx)

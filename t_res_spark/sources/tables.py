@@ -107,3 +107,27 @@ def write_eval_sink(linked: DataFrame, path: str) -> None:
         .write.mode("overwrite")
         .text(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed-table write — the offline co-location step for
+    repeatedly-joined big tables (the alias KB, candidate caches,
+    entity metadata).
+
+    Two tables bucketed on the same key with the same bucket count
+    join with NO shuffle exchange on either side (verified by plan
+    test): at 100 TB the alias KB is written bucketed once and every
+    pipeline run joins against it shuffle-free — the persisted
+    equivalent of the per-run `repartition` co-location the blocking
+    stage does. ``sortBy`` additionally pre-sorts within buckets so a
+    sort-merge join skips its sort."""
+    w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table_name)

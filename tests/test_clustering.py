@@ -87,3 +87,33 @@ def test_prerank_truncation_bounds_candidates(spark):
     per_mention = kept.groupBy("mention_id").count().collect()
     assert all(r["count"] <= 7 for r in per_mention)
     assert all(r["count"] >= 4 for r in per_mention)
+
+
+def test_attention_topn_bounds_context():
+    """W5 — with > ATT_TOP_N mentions in a conversation, each mention's
+    coherence context uses only the top-n most similar others (pure
+    pandas function test; deterministic output regardless)."""
+    import numpy as np
+    import pandas as pd
+
+    from t_res_spark.operators import context as ctx
+
+    rng = np.random.RandomState(0)
+    n = ctx.ATT_TOP_N + 5
+    rows = []
+    for i in range(n):
+        for q in ("Qa", "Qb"):
+            rows.append({
+                "conv_id": "c1", "mention_id": f"m{i:03d}", "mention": f"x{i}",
+                "qid": q, "prior": 0.6 if q == "Qa" else 0.4,
+                "emb": rng.normal(size=16).tolist(),
+                "is_prior": False, "prior_qid": None,
+            })
+    out = ctx._conv_coherence(pd.DataFrame(rows))
+    assert len(out) == n
+    assert set(out["prediction"]).issubset({"Qa", "Qb"})
+    # determinism: same input -> same output
+    out2 = ctx._conv_coherence(pd.DataFrame(rows))
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), out2.reset_index(drop=True)
+    )

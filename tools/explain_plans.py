@@ -31,7 +31,9 @@ def plan_of(df) -> str:
 def audit(name: str, df) -> None:
     p = plan_of(df)
     n_exchange = len(re.findall(r"\bExchange\b", p))
-    n_codegen = len(re.findall(r"WholeStageCodegen", p))
+    # formatted mode tags codegen'd operators with "[codegen id : N]";
+    # count DISTINCT codegen regions (the spans we want wide)
+    n_codegen = len(set(re.findall(r"codegen id : (\d+)", p)))
     bhj = len(re.findall(r"BroadcastHashJoin", p))
     smj = len(re.findall(r"SortMergeJoin", p))
     shj = len(re.findall(r"ShuffledHashJoin", p))
