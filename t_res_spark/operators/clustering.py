@@ -94,8 +94,40 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _local_components(pairs: list[tuple], spark, schema) -> DataFrame:
+    """Union-find closure for a SMALL edge list already on the driver.
+
+    Same contract as the distributed path: label = min node id of the
+    component (numeric min for longs, lexicographic for strings — both
+    match Spark's ``min`` on the same type)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in pairs:
+        for n in (s, d):
+            if n not in parent:
+                parent[n] = n
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            # union by label order so the min id wins as the root
+            lo, hi = (rs, rd) if rs < rd else (rd, rs)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, schema)
+
+
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20, check_every: int = 2
+    edges: DataFrame,
+    max_iterations: int = 20,
+    check_every: int = 2,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """edges(src, dst) → labels(mention_id, cluster_id).
 
@@ -110,7 +142,18 @@ def connected_components(
     iterations — the algorithm has a strictly decreasing potential
     (Kiveris et al. §3), so equal signatures ``check_every`` apart can
     only mean a fixpoint, and the count/checksum job is half the
-    per-iteration driver cost."""
+    per-iteration driver cost.
+
+    Size gate: the first signature job already collects the exact edge
+    count; when it is ≤ ``local_threshold`` the closure runs as a
+    driver-side union-find instead of O(log n) Spark rounds — a
+    100k-edge list is a few MB, while each distributed round costs
+    several scheduled stages regardless of size. This is the common
+    case for THIS engine by design: CC inputs are entity-level
+    representative graphs (cluster_mentions) or verified near-dup
+    edges, both orders of magnitude smaller than the row counts they
+    summarize. Graphs above the gate take the distributed path
+    unchanged; set ``local_threshold=0`` to force it."""
     cur = _canonical(edges).localCheckpoint(eager=True)
 
     def _sig(e: DataFrame) -> tuple[int, int]:
@@ -122,6 +165,13 @@ def connected_components(
         return int(row["n"]), int(row["h"])
 
     sig = _sig(cur)
+    if sig[0] <= local_threshold:
+        spark = edges.sparkSession
+        id_type = dict(edges.dtypes)["src"]
+        pairs = [(r["src"], r["dst"]) for r in cur.collect()]
+        return _local_components(
+            pairs, spark, f"mention_id {id_type}, cluster_id {id_type}"
+        )
     for it in range(max_iterations):
         # lazy checkpoint: lineage still truncates at materialization,
         # but the separate eager-checkpoint job disappears — the

@@ -117,3 +117,26 @@ def test_attention_topn_bounds_context():
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), out2.reset_index(drop=True)
     )
+
+
+def test_local_and_distributed_cc_agree(spark):
+    """The size-gated union-find and the distributed star algorithm
+    assign identical cluster labels (min node id per component)."""
+    import random
+
+    from t_res_spark.operators.clustering import connected_components
+
+    rng = random.Random(11)
+    edges = [(f"n{rng.randrange(60):02d}", f"n{rng.randrange(60):02d}")
+             for _ in range(80)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    local = {r["mention_id"]: r["cluster_id"]
+             for r in connected_components(df).collect()}
+    dist = {r["mention_id"]: r["cluster_id"]
+            for r in connected_components(df, local_threshold=0).collect()}
+    for node, label in dist.items():
+        assert local[node] == label, (node, label, local.get(node))
+    # local path may additionally carry root->root rows; every extra
+    # row must be a self-label
+    for node in set(local) - set(dist):
+        assert local[node] == node
