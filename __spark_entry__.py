@@ -848,6 +848,45 @@ def q_ml2_bio_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repair_and_aggregate(toks)
 
 
+def q_e2e_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §3.3 — the batch experiment driver analog end-to-end:
+    stringified-TSV rows → from_json parse → deterministic NER → gold
+    span alignment → blocked ranking → linking → gold-joined results.
+    Extraction is an Arrow UDF → rows-only; the micro-metrics math is
+    oracle-covered separately by a7_pairwise_f1."""
+    from t_res_spark.jobs.experiment_job import run_experiment
+
+    _register(spark, sf_dir)
+    # capitalized mention planted at a fixed offset ('We visited ' = 11)
+    rows = spark.sql(
+        """
+        SELECT CAST(c_custkey AS STRING) AS article_id,
+               '[{"sentence_pos":1,"sentence_text":"We visited '
+                 || initcap(lower(n_name)) || ' today"}]' AS sentences,
+               '[{"sent_pos":1,"mention":"' || initcap(lower(n_name))
+                 || '","entity_type":"LOC","wkdt_qid":"Q'
+                 || CAST(c_nationkey AS STRING)
+                 || '","mention_start":11,"mention_end":'
+                 || CAST(11 + length(n_name) AS STRING) || '}]' AS annotations
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_custkey % 7 = 0
+        """
+    )
+    aliases = spark.sql(
+        """
+        SELECT initcap(lower(n_name)) AS alias,
+               'Q' || CAST(n_nationkey AS STRING) AS qid,
+               (n_nationkey % 8 + 1) / 8 AS relv,
+               CAST((n_nationkey + 1) * 100 AS DOUBLE) AS abs_relv
+        FROM nation
+        """
+    )
+    results, _metrics = run_experiment(spark, rows, aliases)
+    return results.select(
+        "conv_id", "turn_idx", "mention", "prediction", "gold_qid"
+    )
+
+
 def q_ctx_disambiguate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ML4/ML5 analog — per-conversation applyInPandas coherence loop
     (document = group = minibatch, entity_disambiguation.py:222,507;
@@ -947,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4b_jarowinkler": q_j4b_jarowinkler,
         "f4_ocr_variants": q_f4_ocr_variants,
         "ml2_bio_repair": q_ml2_bio_repair,
+        "e2e_experiment": q_e2e_experiment,
         "er_clusters": q_er_clusters,
         "ctx_disambiguate": q_ctx_disambiguate,
         "d2_minhash_clusters": q_d2_minhash_clusters,
