@@ -64,3 +64,42 @@ def test_similarity_ranges(a, b):
     assert 0.0 <= jw <= 1.0
     if a and a == b:
         assert s == 1.0 and jw == 1.0
+
+
+@settings(max_examples=200, deadline=None)
+@given(WORD, WORD)
+def test_fuzz_ratio_properties(a, b):
+    """F4 invariants: bounded [0,100], symmetric, 100 iff equal."""
+    from t_res_spark.functions.similarity import fuzz_ratio
+
+    r = fuzz_ratio(a, b)
+    assert 0.0 <= r <= 100.0
+    assert r == fuzz_ratio(b, a)
+    if a == b:
+        assert r == 100.0
+    elif r == 100.0:
+        raise AssertionError(f"ratio 100 for unequal {a!r} {b!r}")
+
+
+@settings(max_examples=200, deadline=None)
+@given(WORD, WORD)
+def test_distance_variant_ordering(a, b):
+    """Unrestricted DL <= OSA (transpositions can only help), both
+    bounded by max(len) for nonempty strings."""
+    assert dl_distance(a, b) <= osa_distance(a, b)
+    assert osa_distance(a, b) <= max(len(a), len(b)) or (a == "" and b == "")
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_ner_score_bounds(text):
+    """A3: every mention's score is a round-3dp mean in [0.85, 0.99]."""
+    from t_res_spark.operators.extraction import (
+        extract_mentions_from_text,
+        mention_ner_score,
+    )
+
+    for mention, _s, _e in extract_mentions_from_text(text):
+        sc = mention_ner_score(mention)
+        assert 0.85 <= sc <= 0.99
+        assert sc == round(sc, 3)
