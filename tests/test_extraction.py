@@ -90,3 +90,34 @@ def test_extract_mentions_carries_real_ner_score(spark):
     )
     rows = extract_mentions(df).collect()
     assert len(rows) == 1 and rows[0]["ner_score"] == 0.937
+
+
+def test_prefilter_is_semantically_neutral(spark):
+    """The RLIKE prefilter drops only rows that yield zero mentions."""
+    from t_res_spark.operators.extraction import (
+        extract_mentions,
+        extract_mentions_from_text,
+    )
+
+    texts = [
+        "all lowercase tool output with no mentions",
+        "WE SAW ALL CAPS OCR GARBAGE",
+        "a York trip",        # survives: capital+lower
+        "numbers 123 only",
+        "Δx = 4 unicode",
+    ]
+    for t in texts[:2] + texts[3:4]:
+        assert extract_mentions_from_text(t) == [] or any(
+            c.isupper() for c in t
+        )
+    df = spark.createDataFrame(
+        [("c", i, "user", t, None, None) for i, t in enumerate(texts)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = {(r["turn_idx"], r["mention"]) for r in extract_mentions(df).collect()}
+    expected = {
+        (i, m)
+        for i, t in enumerate(texts)
+        for m, _s, _e in extract_mentions_from_text(t)
+    }
+    assert got == expected
