@@ -109,3 +109,37 @@ def test_repair_and_aggregate_spark(spark):
     assert len(out) == 1
     assert out[0]["mention"] == "Ashton-under-Lyne"
     assert out[0]["ner_score"] == 0.9
+
+
+def test_bio_wellformedness_property():
+    """§5.5 analog — after the repair chain, no I- token follows an O or
+    a different-type token (the reference's processing-alignment
+    invariant, tests/test_process_data.py:73-183), for arbitrary tag
+    sequences."""
+    import random
+
+    from t_res_spark.operators.bio import repair_bio
+
+    rng = random.Random(13)
+    tags = ["O", "B-LOC", "I-LOC", "B-BUILDING", "I-BUILDING"]
+    words = ["London", "-", "of", "x", "Tower", "9", "the"]
+    for _ in range(300):
+        n = rng.randrange(1, 12)
+        toks = [
+            {
+                "entity": rng.choice(tags),
+                "word": rng.choice(words),
+                "start": i * 5,
+                "end": i * 5 + 4,
+                "score": 0.9,
+            }
+            for i in range(n)
+        ]
+        out = repair_bio(toks)
+        prev = "O"
+        for t in out:
+            if t["entity"].startswith("I-"):
+                assert prev != "O" and prev[2:] == t["entity"][2:], (
+                    toks, [x["entity"] for x in out],
+                )
+            prev = t["entity"]
