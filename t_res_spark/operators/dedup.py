@@ -108,15 +108,51 @@ def minhash_signatures(
     return hashed.select("doc_id", sig.alias("sig"))
 
 
+def _bucket_pairs(
+    banded: DataFrame, key_cols: list[str], bucket_cap: int
+) -> DataFrame:
+    """(key..., doc_id) bucket membership → distinct candidate (a, b)
+    pairs with a < b.
+
+    ONE aggregation shuffle: ids are collected per bucket
+    (map-side-combinable into arrays bounded by the cap filter) and the
+    k·(k-1)/2 pairs expand NATIVELY from the sorted array — no
+    window-count pass and no bucket self-join (the previous plan's two
+    extra shuffles of the same rows). A whole bucket lands in one task
+    either way (that is what bucketing means); the cap bounds both the
+    array row and the quadratic expansion, and over-cap buckets are
+    exact/near-exact families the cheap exact pass already groups."""
+    buckets = (
+        banded.groupBy(*key_cols)
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= bucket_cap))
+        .select(F.array_sort("ids").alias("ids"))
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs_arr).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     signatures: DataFrame,
     bands: int = 16,
     rows_per_band: int = 4,
     bucket_cap: int = 50,
 ) -> DataFrame:
-    """Band the signatures, bucket-join, emit candidate (a, b) pairs.
+    """Band the signatures, bucket, emit candidate (a, b) pairs.
 
-    Buckets larger than ``bucket_cap`` are skipped here (they are exact
+    Buckets larger than ``bucket_cap`` are skipped (they are exact
     or near-exact duplicate families — the cheap exact pass catches
     them; pairing them is O(n²) for no information)."""
     banded = signatures.select(
@@ -139,19 +175,7 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    w = Window.partitionBy("band", "bucket")
-    capped = banded.withColumn("bsz", F.count(F.lit(1)).over(w)).filter(
-        (F.col("bsz") > 1) & (F.col("bsz") <= bucket_cap)
-    )
-    other = capped.select(
-        "band", "bucket", F.col("doc_id").alias("doc_id_b")
-    )
-    return (
-        capped.join(other, ["band", "bucket"])
-        .filter(F.col("doc_id") < F.col("doc_id_b"))
-        .select(F.col("doc_id").alias("a"), F.col("doc_id_b").alias("b"))
-        .distinct()
-    )
+    return _bucket_pairs(banded, ["band", "bucket"], bucket_cap)
 
 
 def jaccard_verify(
@@ -229,7 +253,13 @@ def near_duplicate_clusters(
 
     CC runs on the native (long) doc ids — cheaper shuffles and
     comparisons than strings; labels are cast back at the surface."""
-    sigs = minhash_signatures(docs, text_col, num_hashes, shingle_n)
+    # signatures are read three times (banding + both sides of the
+    # estimate filter) and sit behind no exchange Catalyst could reuse —
+    # one eager checkpoint materializes them once and flattens the DAG
+    # (sf0.1: composed op ~17s -> ~13s; the win grows with corpus size)
+    sigs = minhash_signatures(docs, text_col, num_hashes, shingle_n).localCheckpoint(
+        eager=True
+    )
     pairs = minhash_lsh_pairs(sigs, bands, num_hashes // bands)
     near = signature_estimate_filter(pairs, sigs, threshold)
     verified = jaccard_verify(docs, near, text_col, shingle_n, threshold)
@@ -373,17 +403,7 @@ def simhash_near_pairs(
             )
         ).alias("band", "segment"),
     )
-    w = Window.partitionBy("band", "segment")
-    capped = banded.withColumn("bsz", F.count(F.lit(1)).over(w)).filter(
-        (F.col("bsz") > 1) & (F.col("bsz") <= bucket_cap)
-    )
-    other = capped.select("band", "segment", F.col("doc_id").alias("doc_id_b"))
-    cands = (
-        capped.join(other, ["band", "segment"])
-        .filter(F.col("doc_id") < F.col("doc_id_b"))
-        .select(F.col("doc_id").alias("a"), F.col("doc_id_b").alias("b"))
-        .distinct()
-    )
+    cands = _bucket_pairs(banded, ["band", "segment"], bucket_cap)
     fa = fingerprints.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
     fb = fingerprints.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
     return (
