@@ -105,22 +105,35 @@ def extract_mentions_from_text(text: str) -> list[tuple[str, int, int]]:
     oracle so golden-cluster fixtures need no Spark."""
     if text is None or len(text) <= 1:
         return []  # short-turn guard (recogniser.py:369-371)
+    # fast reject: a mention needs at least one uppercase char — one C
+    # scan instead of tokenizing (the Spark path also prefilters
+    # JVM-side; this covers the oracle/tests path and mixed batches)
+    if text == text.lower():
+        return []
     # n-dash fix without shifting offsets (— and , are both 1 char)
-    if len(text) > 1:
-        text = text[0] + text[1:].replace("—", ",")
+    text = text[0] + text[1:].replace("—", ",")
 
     toks: list[tuple[str, int, int]] = []  # (clean, start, end)
+    isalnum = str.isalnum
     for m in _TOKEN_WITH_POS.finditer(text):
-        clean, start = _strip_token(m.group(), m.start())
-        if clean:
-            toks.append((clean, start, start + len(clean)))
+        tok = m.group()
+        # common case: token already clean at both ends — skip the strip
+        if isalnum(tok[0]) and isalnum(tok[-1]):
+            start = m.start()
+            toks.append((tok, start, start + len(tok)))
+        else:
+            clean, start = _strip_token(tok, m.start())
+            if clean:
+                toks.append((clean, start, start + len(clean)))
 
     mentions: list[tuple[str, int, int]] = []
+    cap_match = _CAP_TOKEN.match
+    stop_caps = _STOP_CAPS
     i = 0
     n = len(toks)
     while i < n:
         tok, start, end = toks[i]
-        if _CAP_TOKEN.match(tok) and tok not in _STOP_CAPS:
+        if cap_match(tok) and tok not in stop_caps:
             # grow a span of capitalized tokens, allowing single
             # lowercase connectors between capitalized tokens
             j = i + 1
@@ -132,14 +145,14 @@ def extract_mentions_from_text(text: str) -> list[tuple[str, int, int]]:
                 gap = text[last_end:ns]
                 if gap.strip() != "":
                     break
-                if _CAP_TOKEN.match(nxt) and nxt not in _STOP_CAPS:
+                if cap_match(nxt) and nxt not in stop_caps:
                     last_end = ne
                     j += 1
                 elif (
                     nxt in _CONNECTORS
                     and j + 1 < n
-                    and _CAP_TOKEN.match(toks[j + 1][0])
-                    and toks[j + 1][0] not in _STOP_CAPS
+                    and cap_match(toks[j + 1][0])
+                    and toks[j + 1][0] not in stop_caps
                     and text[ne : toks[j + 1][1]].strip() == ""
                 ):
                     last_end = toks[j + 1][2]
