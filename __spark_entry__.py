@@ -848,6 +848,71 @@ def q_ml2_bio_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repair_and_aggregate(toks)
 
 
+# WebAnno-format token lines derived from customer/nation: a 2-token
+# bracket-group mention per article (token1 = nation name, token2 =
+# market segment), identical text on both engines; only Spark PARSES it.
+WEBANNO_LINES_SQL = """
+SELECT 'mem' AS file, c_custkey * 2 AS line_no,
+       '1-1' || chr(9) || '0-' || CAST(length(n_name) AS STRING) || chr(9)
+        || lower(n_name) || chr(9) || 'Q' || CAST(c_nationkey AS STRING)
+        || '[' || CAST(c_custkey AS STRING) || ']' || chr(9)
+        || 'LOC[' || CAST(c_custkey AS STRING) || ']' AS line
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey % 11 = 0
+UNION ALL
+SELECT 'mem', c_custkey * 2 + 1,
+       '1-2' || chr(9) || CAST(length(n_name) + 1 AS STRING) || '-'
+        || CAST(length(n_name) + 1 + length(c_mktsegment) AS STRING) || chr(9)
+        || lower(c_mktsegment) || chr(9) || 'Q' || CAST(c_nationkey AS STRING)
+        || '[' || CAST(c_custkey AS STRING) || ']' || chr(9)
+        || 'LOC[' || CAST(c_custkey AS STRING) || ']'
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey % 11 = 0
+"""
+
+
+def q_s8_webanno(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — declarative WebAnno TSV parse (bracket-group windows +
+    gap-aware mention fold, preprocess_data.py:710-871). The token
+    lines are built identically on both engines; only Spark parses
+    them — the oracle constructs the expected mention rows directly."""
+    from t_res_spark.sources.annotations import parse_webanno
+
+    _register(spark, sf_dir)
+    lines = spark.sql(WEBANNO_LINES_SQL)
+    _tokens, mentions = parse_webanno(lines)
+    return mentions.select(
+        "sent_pos", "start_char", "end_char", "mention", "wkpd", "label"
+    )
+
+
+def q_s9_hipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 — HIPE-2022 parse: declarative doc-id propagation + per-doc
+    applyInPandas offset reconstruction (preprocess_data.py:464-707).
+    Sequential reconstruction → rows-only."""
+    from t_res_spark.sources.annotations import parse_hipe
+
+    _register(spark, sf_dir)
+    lines = spark.sql(
+        """
+        SELECT 'mem' AS file, c_custkey * 3 AS line_no,
+               '# hipe2022:document_id = doc' || CAST(c_custkey AS STRING) AS line
+        FROM customer WHERE c_custkey % 13 = 0
+        UNION ALL
+        SELECT 'mem', c_custkey * 3 + 1,
+               lower(n_name) || ' B-loc O B-loc O O O Q'
+                || CAST(c_nationkey AS STRING) || ' O _'
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_custkey % 13 = 0
+        UNION ALL
+        SELECT 'mem', c_custkey * 3 + 2,
+               'endtoken O O O O O O O O EndOfSentence'
+        FROM customer WHERE c_custkey % 13 = 0
+        """
+    )
+    return parse_hipe(lines)
+
+
 def q_e2e_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §3.3 — the batch experiment driver analog end-to-end:
     stringified-TSV rows → from_json parse → deterministic NER → gold
@@ -982,11 +1047,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3b_blocked_fuzzy": q_j3b_blocked_fuzzy,
         "a1_alias_invert": q_a1_alias_invert,
         "j7_align_gold": q_j7_align_gold,
+        "s8_webanno": q_s8_webanno,
         # rows-only (non-SQL-expressible)
         "j4b_jarowinkler": q_j4b_jarowinkler,
         "f4_ocr_variants": q_f4_ocr_variants,
         "ml2_bio_repair": q_ml2_bio_repair,
         "e2e_experiment": q_e2e_experiment,
+        "s9_hipe": q_s9_hipe,
         "er_clusters": q_er_clusters,
         "ctx_disambiguate": q_ctx_disambiguate,
         "d2_minhash_clusters": q_d2_minhash_clusters,
@@ -1383,6 +1450,17 @@ def oracle_sql() -> dict[str, str]:
                 ON t.conv_id = g.conv_id AND t.turn_idx = g.turn_idx
                AND t.tok_start >= g.gold_start AND t.tok_end <= g.gold_end
             ) WHERE rn = 1
+        """,
+        "s8_webanno": """
+            -- expected parse output constructed directly (the Spark
+            -- side actually parses the WebAnno lines)
+            SELECT 1 AS sent_pos, 0 AS start_char,
+                   length(n_name) + 1 + length(c_mktsegment) AS end_char,
+                   lower(n_name) || ' ' || lower(c_mktsegment) AS mention,
+                   'Q' || CAST(c_nationkey AS STRING) AS wkpd,
+                   'LOC' AS label
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_custkey % 11 = 0
         """,
         "m1_parse_ingest": """
             WITH base AS (
