@@ -1,0 +1,52 @@
+"""§3.1 — run_text interactive API parity (README.md:75-105 shape)."""
+
+
+def test_split_sentences_preserves_text():
+    from t_res_spark.plans.api import split_sentences
+
+    text = "She was on a visit at Chippenham. Then to Bath! And back?"
+    parts = split_sentences(text)
+    assert "".join(s for _, s, _ in parts) == text
+    for i, s, off in parts:
+        assert text[off : off + len(s)] == s
+
+
+def test_run_text_reference_shape(spark):
+    from t_res_spark.plans.api import run_text
+
+    aliases = spark.createDataFrame(
+        [
+            ("Chippenham", "Q775299", 0.875, 7000.0),
+            ("Chippenham", "Q3138621", 0.125, 1000.0),
+            ("Bath", "Q22889", 1.0, 9000.0),
+        ],
+        "alias string, qid string, relv double, abs_relv double",
+    )
+    entities = spark.createDataFrame(
+        [
+            ("Q775299", 51.4585, -2.1158, "Q3957"),
+            ("Q3138621", 40.0, -75.0, "Q3957"),
+            ("Q22889", 51.38, -2.36, "Q515"),
+        ],
+        "qid string, lat double, lon double, wkdt_class string",
+    )
+    out = run_text(
+        spark,
+        "She was on a visit at Chippenham. Then to Bath today.",
+        aliases,
+        entities=entities,
+    )
+    assert [d["mention"] for d in out] == ["Chippenham", "Bath"]
+    chip = out[0]
+    assert chip["pos"] == 22 and chip["sent_idx"] == 0
+    assert chip["end_pos"] == 32
+    assert chip["sentence"] == "She was on a visit at Chippenham. "
+    assert chip["prediction"] == "Q775299"
+    assert 0 < chip["ed_score"] <= 1.0
+    score, qids = chip["string_match_score"]["Chippenham"]
+    assert score == 1.0 and set(qids) == {"Q775299", "Q3138621"}
+    assert chip["cross_cand_score"]["Q775299"] == 0.875
+    assert chip["latlon"] == [51.4585, -2.1158]
+    assert chip["wkdt_class"] == "Q3957"
+    bath = out[1]
+    assert bath["sent_idx"] == 1 and bath["prediction"] == "Q22889"
