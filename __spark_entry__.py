@@ -913,6 +913,34 @@ def q_s9_hipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_hipe(lines)
 
 
+def q_s15_title_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 — wiki-title → QID lookup as a normalized-key mapping join
+    (the Spark-first replacement of the SQLite point query,
+    process_wikipedia.py:69-108). Titles here are percent-free, so the
+    engine's url_decode/url_encode normalizer reduces to
+    lower + space→underscore — which DuckDB can mirror exactly."""
+    from t_res_spark.sources.readers import wiki_title_lookup
+
+    _register(spark, sf_dir)
+    titles = spark.sql(
+        """
+        SELECT DISTINCT CASE CAST(c_custkey % 2 AS INT)
+                 WHEN 0 THEN initcap(lower(replace(n_name, ' ', '_')))
+                 ELSE n_name
+               END AS page_title
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """
+    )
+    mapping = spark.sql(
+        """
+        SELECT lower(replace(n_name, ' ', '_')) AS wiki_key,
+               'Q' || CAST(n_nationkey AS STRING) AS qid
+        FROM nation WHERE n_nationkey % 3 != 0
+        """
+    )
+    return wiki_title_lookup(titles, mapping).select("page_title", "qid")
+
+
 def q_e2e_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §3.3 — the batch experiment driver analog end-to-end:
     stringified-TSV rows → from_json parse → deterministic NER → gold
@@ -1048,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_alias_invert": q_a1_alias_invert,
         "j7_align_gold": q_j7_align_gold,
         "s8_webanno": q_s8_webanno,
+        "s15_title_lookup": q_s15_title_lookup,
         # rows-only (non-SQL-expressible)
         "j4b_jarowinkler": q_j4b_jarowinkler,
         "f4_ocr_variants": q_f4_ocr_variants,
@@ -1450,6 +1479,24 @@ def oracle_sql() -> dict[str, str]:
                 ON t.conv_id = g.conv_id AND t.turn_idx = g.turn_idx
                AND t.tok_start >= g.gold_start AND t.tok_end <= g.gold_end
             ) WHERE rn = 1
+        """,
+        "s15_title_lookup": """
+            WITH titles AS (
+              SELECT DISTINCT
+                     CASE CAST(c_custkey % 2 AS INT)
+                       WHEN 0 THEN upper(substr(lower(replace(n_name, ' ', '_')), 1, 1))
+                                    || substr(lower(replace(n_name, ' ', '_')), 2)
+                       ELSE n_name
+                     END AS page_title,
+                     lower(replace(n_name, ' ', '_')) AS k
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+            ), mapping AS (
+              SELECT lower(replace(n_name, ' ', '_')) AS k,
+                     'Q' || CAST(n_nationkey AS STRING) AS qid
+              FROM nation WHERE n_nationkey % 3 != 0
+            )
+            SELECT t.page_title, m.qid
+            FROM titles t LEFT JOIN mapping m ON t.k = m.k
         """,
         "s8_webanno": """
             -- expected parse output constructed directly (the Spark
