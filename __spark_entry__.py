@@ -818,6 +818,29 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, dim=dim, k=10)
 
 
+def q_f5b_bydistance_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5b — the real by_distance operator (haversine + 1000 km cap +
+    Venus guard + final-score rounding, linking.py:266-338). Haversine's
+    transcendentals are not bit-identical across engines' libm → rows-
+    only; the ranking logic is oracle-covered by the f5 surrogate and
+    the haversine kernel has golden unit values."""
+    from t_res_spark.operators.linking import by_distance
+
+    _register(spark, sf_dir)
+    cands = _candidates_df(spark)
+    coords = spark.sql(COORDS_SQL).select(
+        "qid", "lat", "lon"
+    )
+    origins = spark.sql(
+        f"""
+        SELECT m.mention, 'Q' || CAST(CAST(xmin % 25 AS INT) AS STRING) AS origin_qid
+        FROM (SELECT mention, min(mention_id) AS xmin
+              FROM ({MENTIONS_SQL}) GROUP BY mention) m
+        """
+    )
+    return by_distance(cands, coords, origins, cap_km=20000.0)
+
+
 def q_ml2_bio_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ML2 — BIO repair chain + mention aggregation
     (recogniser.py:388-396 chain, ner.py:70-307). The chain is
@@ -1083,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml2_bio_repair": q_ml2_bio_repair,
         "e2e_experiment": q_e2e_experiment,
         "s9_hipe": q_s9_hipe,
+        "f5b_bydistance_op": q_f5b_bydistance_op,
         "er_clusters": q_er_clusters,
         "ctx_disambiguate": q_ctx_disambiguate,
         "d2_minhash_clusters": q_d2_minhash_clusters,
