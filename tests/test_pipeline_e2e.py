@@ -72,3 +72,33 @@ def test_e2e_matches_oracle_small(spark, small_dir):
     clusters = res.clusters.select("mention_id", "cluster_id").toPandas()
     stats = oracle.pairwise_f1(clusters, fx.labeled_pairs)
     assert stats["f1"] >= 0.99, stats
+
+
+def test_config_dispatch_all_ranking_methods(spark, tiny_dir):
+    """Every PipelineConfig.ranking_method is runnable end-to-end and
+    resolves the exact surfaces identically (fuzzy variants differ only
+    on non-exact surfaces)."""
+    transcripts = read_fixture(spark, tiny_dir, "transcripts")
+    aliases = read_fixture(spark, tiny_dir, "aliases")
+    base = None
+    for method in ("perfectmatch", "fuzzy", "jarowinkler", "levenshtein"):
+        cfg = PipelineConfig(
+            ranking_method=method,
+            fuzzy_threshold=0.85 if method == "jarowinkler" else 0.7,
+        )
+        res = resolve(spark, transcripts, aliases, config=cfg)
+        got = {
+            r["mention_id"]: r["prediction"]
+            for r in res.clusters.select("mention_id", "prediction").collect()
+        }
+        assert got, method
+        exact_hits = {
+            k: v for k, v in got.items() if v != "NIL"
+        }
+        if base is None:
+            base = exact_hits
+        else:
+            # perfectmatch's resolutions are a subset every fuzzy method
+            # must agree on (exact match short-circuits identically)
+            for k, v in base.items():
+                assert got.get(k) == v, (method, k, v, got.get(k))
