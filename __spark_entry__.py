@@ -1003,6 +1003,27 @@ def q_e2e_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path #2 — IVF: driver-trained coarse quantizer on a
+    deterministic sample, native nearest-cell assignment, nprobe cell
+    co-location join, exact cosine re-rank. Seeded k-means →
+    rows-only; recall-vs-brute-force is unit-asserted."""
+    from t_res_spark.operators.similarity_search import (
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    _register(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cents = ivf_train_centroids(emb, k=8, sample_size=512)
+    return ivf_topk(emb, queries, cents, k=10, nprobe=3)
+
+
 def q_ctx_disambiguate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ML4/ML5 analog — per-conversation applyInPandas coherence loop
     (document = group = minibatch, entity_disambiguation.py:222,507;
@@ -1113,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_simhash": q_d3_simhash,
         "d3b_simhash_pairs": q_d3b_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "d5_embedding_neardup": q_d5_embedding_neardup,
     }
 

@@ -150,3 +150,134 @@ def lsh_topk(
         .filter(F.col("rnk") <= k)
         .select(q_id_col, id_col, "cos_sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the task brief's alternative scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_train_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+):
+    """Coarse quantizer for IVF: k-means on a DETERMINISTIC sample.
+
+    Training runs driver-side on a bounded sample (k-means++ init,
+    fixed seed, numpy Lloyd iterations) — the classic IVF recipe:
+    centroid fitting needs only a representative sample, never the
+    corpus; the corpus-sized work (assignment) stays distributed.
+    Returns a (k, dim) list-of-lists, broadcast as a plan literal."""
+    rows = (
+        vectors.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("string")))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    # k-means++ init
+    cents = [x[rng.randint(len(x))]]
+    for _ in range(1, k):
+        d2 = np.min(
+            [np.sum((x - c) ** 2, axis=1) for c in cents], axis=0
+        )
+        probs = d2 / max(d2.sum(), 1e-12)
+        cents.append(x[rng.choice(len(x), p=probs)])
+    c = np.asarray(cents)
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)  # unit vectors: cosine argmax
+        for j in range(k):
+            m = x[assign == j]
+            if len(m):
+                cj = m.mean(axis=0)
+                c[j] = cj / max(np.linalg.norm(cj), 1e-12)
+    return c.tolist()
+
+
+def ivf_cell(vec_col, centroids: list[list[float]]):
+    """Nearest-centroid id by cosine — ONE fold pass over the vector
+    accumulating all k centroid dot products (same no-CSE-safe shape as
+    srp_bucket), then an argmax over the k-array. Returns an expression
+    usable in select(); the caller must materialize the scores array in
+    a separate projection before argmax (Catalyst does not CSE across
+    higher-order functions)."""
+    k = len(centroids)
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+    indexed = F.zip_with(
+        vec_col,
+        F.sequence(F.lit(0), F.size(vec_col) - 1),
+        lambda v, j: F.struct(v.alias("v"), j.alias("j")),
+    )
+    return F.aggregate(
+        indexed,
+        F.array_repeat(F.lit(0.0), k),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda a, i: a + s["v"] * F.get(F.get(cent_arr, i), s["j"]),
+        ),
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF ANN: corpus vectors live in their nearest-centroid cell;
+    each query probes its ``nprobe`` closest cells; candidates within
+    probed cells get an exact cosine re-rank.
+
+    Plan: one shuffle co-locating (cell) on both sides — identical
+    join shape to the LSH and ER blocking stages. Recall rises with
+    ``nprobe``; candidate volume ≈ nprobe/k of the corpus per query."""
+    v_scored = vectors.select(id_col, vec_col, ivf_cell(F.col(vec_col), centroids).alias("cs"))
+    v_cells = v_scored.select(
+        id_col,
+        vec_col,
+        (F.array_position(F.col("cs"), F.array_max("cs")) - 1).alias("cell"),
+    )
+    q_scored = queries.select(
+        q_id_col, q_vec_col, ivf_cell(F.col(q_vec_col), centroids).alias("cs")
+    )
+    # top-nprobe cells per query: sort (score, idx) structs descending
+    probe = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.zip_with(
+                    "cs",
+                    F.sequence(F.lit(0), F.size("cs") - 1),
+                    lambda s, i: F.struct(s.alias("s"), i.alias("i")),
+                )
+            )
+        ),
+        1,
+        nprobe,
+    )
+    q_cells = q_scored.select(
+        q_id_col, q_vec_col, F.explode(probe).alias("p")
+    ).select(q_id_col, q_vec_col, F.col("p.i").cast("long").alias("cell"))
+    cands = v_cells.join(q_cells, "cell").select(
+        id_col, vec_col, q_id_col, q_vec_col
+    )
+    scored = cands.withColumn("cos_sim", cosine(F.col(vec_col), F.col(q_vec_col)))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(q_id_col, id_col, "cos_sim", "rnk")
+    )

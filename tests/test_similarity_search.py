@@ -58,3 +58,57 @@ def test_cosine_matches_numpy(spark, vectors):
         a, b = np.array(rows[r["vec_id"]]), np.array(rows[2])
         want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert math.isclose(r["c"], want, rel_tol=1e-9)
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF with generous nprobe must recover the brute-force top-k
+    (clustered data: cells are meaningful); determinism across calls."""
+    import numpy as np
+
+    from t_res_spark.operators.similarity_search import (
+        brute_force_topk,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    rng = np.random.RandomState(5)
+    # 4 well-separated clusters of unit vectors
+    centers = rng.normal(size=(4, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        v = c + rng.normal(scale=0.05, size=16)
+        rows.append((i, [float(x) for x in v]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = vecs.filter("vec_id < 3").selectExpr(
+        "vec_id AS q_id", "embedding AS q_vec"
+    )
+    cents = ivf_train_centroids(vecs, k=4, sample_size=200, seed=7)
+    assert cents == ivf_train_centroids(vecs, k=4, sample_size=200, seed=7)
+
+    got = ivf_topk(vecs, queries, cents, k=5, nprobe=2)
+    want = brute_force_topk(vecs, queries, k=5)
+    g = {(r["q_id"], r["rnk"]): r["vec_id"] for r in got.collect()}
+    w = {(r["q_id"], r["rnk"]): r["vec_id"] for r in want.collect()}
+    assert g == w
+
+
+def test_ivf_candidate_volume_bounded(spark):
+    """nprobe=1 probes ~1/k of the corpus per query (the scale
+    contract: candidate volume shrinks with k)."""
+    import numpy as np
+
+    from t_res_spark.operators.similarity_search import ivf_cell, ivf_train_centroids
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(9)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(400)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_train_centroids(vecs, k=8, sample_size=400, seed=1)
+    cells = vecs.select(
+        ivf_cell(F.col("embedding"), cents).alias("cs")
+    ).select((F.array_position(F.col("cs"), F.array_max("cs")) - 1).alias("cell"))
+    sizes = [r["n"] for r in cells.groupBy("cell").agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) >= 4           # centroids actually used
+    assert max(sizes) < 400 * 0.6    # no degenerate single cell
