@@ -121,8 +121,8 @@ def main() -> None:
         "a2_most_popular", "w1_top1_ties", "w2_top7", "m4_edges_star",
         "d1_exact_dedup", "d2_minhash_clusters", "d3_simhash",
         "d3b_simhash_pairs", "t2_quality", "t3_token_counts",
-        "s6_embedding_topk", "ann_lsh_topk", "mm_media_features",
-        "m1_parse_ingest", "j7_align_gold",
+        "s6_embedding_topk", "ann_lsh_topk", "ann_ivf_topk",
+        "mm_media_features", "m1_parse_ingest", "j7_align_gold",
     ]
     for name in bench_queries:
         # best-of-2: the sandbox box carries unpredictable ambient load;
