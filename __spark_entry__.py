@@ -323,6 +323,32 @@ def q_j12_anti_join_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_j9_decorate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9/J10 — metadata-enrichment join (pipeline.py:358-385): linked
+    mention instances decorated with gazetteer coordinates + entity
+    class; NIL/missing predictions keep NULL decoration. lr_conf is
+    excluded from the gate select (exp() is not bit-identical across
+    engines' libm); link_score is an exact binary fraction."""
+    from t_res_spark.operators.linking import link_mentions, most_popular
+
+    _register(spark, sf_dir)
+    mentions = _mentions_df(spark).select(
+        F.col("mention_id").cast("string").alias("mention_id"), "mention"
+    )
+    preds = most_popular(_candidates_df(spark))
+    entities = spark.sql(COORDS_SQL).withColumn(
+        "wkdt_class",
+        F.concat(
+            F.lit("C"),
+            (F.regexp_extract("qid", "Q(\\d+)", 1).cast("int") % 5).cast("string"),
+        ),
+    )
+    return link_mentions(mentions, preds, entities=entities).select(
+        "mention_id", "mention", "prediction", "link_score",
+        "lat", "lon", "wkdt_class",
+    )
+
+
 def q_opt_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew pattern — salted two-phase aggregation (SURVEY §4 hot-key
     row): partial agg on (key, salt), final agg on key; result must be
@@ -1103,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_edges_star": q_m4_edges_star,
         "j12_anti_join_cache": q_j12_anti_join_cache,
         "opt_salted_agg": q_opt_salted_agg,
+        "j9_decorate": q_j9_decorate,
         "j6_align_spans": q_j6_align_spans,
         "a6_cross_norm": q_a6_cross_norm,
         "w8_alias_casing": q_w8_alias_casing,
@@ -1263,6 +1290,31 @@ def oracle_sql() -> dict[str, str]:
               WHERE CAST(regexp_extract(a.qid, 'Q(\\d+)', 1) AS INT) % 2 = 0
                 AND a.alias = m.mention
             )
+        """,
+        "j9_decorate": f"""
+            WITH preds AS (
+              SELECT mention, qid AS prediction, abs_relv / total AS link_score
+              FROM (
+                SELECT mention, qid, abs_relv,
+                       sum(abs_relv) OVER (PARTITION BY mention) AS total,
+                       row_number() OVER (PARTITION BY mention
+                                          ORDER BY abs_relv DESC, qid ASC,
+                                                   variation ASC) AS rn
+                FROM ({CANDIDATES_SQL})
+              ) WHERE rn = 1
+            ), ents AS (
+              SELECT qid, lat, lon,
+                     'C' || CAST(CAST(regexp_extract(qid, 'Q(\\d+)', 1) AS INT) % 5
+                                 AS STRING) AS wkdt_class
+              FROM ({COORDS_SQL})
+            )
+            SELECT CAST(m.mention_id AS STRING) AS mention_id, m.mention,
+                   COALESCE(p.prediction, 'NIL') AS prediction,
+                   COALESCE(p.link_score, 0.0) AS link_score,
+                   e.lat, e.lon, e.wkdt_class
+            FROM ({MENTIONS_SQL}) m
+            LEFT JOIN preds p ON m.mention = p.mention
+            LEFT JOIN ents e ON COALESCE(p.prediction, 'NIL') = e.qid
         """,
         "opt_salted_agg": """
             -- CAST: DuckDB sum(BIGINT) returns HUGEINT (stringifies as a
