@@ -820,7 +820,9 @@ def q_d3b_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 100000 AS doc_id, text FROM documents
+        -- negative id space: planted copies can never collide with a
+        -- real doc_id at any scale factor
+        SELECT -doc_id - 1 AS doc_id, text FROM documents
         WHERE doc_id % 5 = 0
         """
     )
@@ -1571,7 +1573,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT t.conv_id, t.turn_idx, t.tok_start, t.tok_end,
                      g.gold_start, g.gold_type, g.gold_qid,
                      row_number() OVER (
-                       PARTITION BY t.conv_id, t.turn_idx, t.tok_start
+                       PARTITION BY t.conv_id, t.turn_idx, t.tok_start, t.tok_end
                        ORDER BY g.gold_start ASC, g.gold_qid ASC) AS rn
               FROM tokens t LEFT JOIN gold g
                 ON t.conv_id = g.conv_id AND t.turn_idx = g.turn_idx

@@ -74,7 +74,11 @@ def normalize_wiki_url(url: Column) -> Column:
     sides of any lookup must use this same normalizer, which this
     preserves; it is not byte-parity with the reference's dictionary
     files (those are offline artifacts we don't ship)."""
-    decoded = F.url_decode(F.lower(url))
+    # try_url_decode: a single malformed percent-escape (OCR'd titles
+    # like '100%_wool') must not abort the job — undecodable input
+    # passes through raw, like urllib.parse.unquote's tolerance.
+    lowered = F.lower(url)
+    decoded = F.coalesce(F.try_url_decode(lowered), lowered)
     spaced = F.regexp_replace(decoded, "_", " ")
     defragged = F.regexp_replace(spaced, "#.*$", "")
     return F.url_encode(defragged)
@@ -84,7 +88,10 @@ def wikipedia_to_wikidata_key(entity: Column) -> Column:
     """F9 — the wikipedia2wikidata lookup key
     (process_wikipedia.py:40-66): consistent link → decode →
     space → ``_``."""
-    return F.regexp_replace(F.url_decode(normalize_wiki_url(entity)), " ", "_")
+    consistent = normalize_wiki_url(entity)
+    return F.regexp_replace(
+        F.coalesce(F.try_url_decode(consistent), consistent), " ", "_"
+    )
 
 
 def zfill_code(code: Column, width: int = 7) -> Column:
@@ -100,13 +107,15 @@ _BRACKETS = {
 
 
 def normalize_vocab_token(
-    token: Column, lower: bool = True, digit_0: bool = True
+    token: Column, lower: bool = False, digit_0: bool = False
 ) -> Column:
     """F13 — REL vocabulary token normalisation
     (/root/reference/utils/REL/vocabulary.py:58-87): special tokens pass
     through, PTB bracket escapes map to their glyphs, digits collapse to
     '0' (when ``digit_0``), then optional lowercase — one CASE chain,
-    fully codegen'd."""
+    fully codegen'd. Defaults match the reference's module flags
+    (LOWER=False, DIGIT_0=False, vocabulary.py:4-5 — what its only
+    runtime call site, get_id, uses)."""
     special = token.isin("#UNK#", "<s>", "</s>")
     bracket = F.create_map(
         *[F.lit(x) for kv in _BRACKETS.items() for x in kv]

@@ -161,7 +161,9 @@ def align_gold_tokens(tokens: DataFrame, gold: DataFrame) -> DataFrame:
         ],
         "left",
     ).select(tokens["*"], "gold_start", "gold_type", "gold_qid")
-    w = Window.partitionBy("conv_id", "turn_idx", "tok_start").orderBy(
+    # partition on tok_end too: two distinct tokens can share a start
+    # offset (overlapping tokenizations) and each must get its own label
+    w = Window.partitionBy("conv_id", "turn_idx", "tok_start", "tok_end").orderBy(
         F.asc("gold_start"), F.asc("gold_qid")
     )
     prefix = F.when(F.col("tok_start") == F.col("gold_start"), "B-").otherwise("I-")

@@ -202,11 +202,17 @@ def prerank_truncate(
         rows.select("conv_id", "mention").distinct()
         .withColumn("m_emb", _embed_expr("mention"))
     )
+    # sort the collected (mention, emb) structs before the float fold:
+    # collect_list order is partition-dependent and float addition is
+    # not associative — an unordered sum would make near-tied rank_ctx
+    # decisions nondeterministic across runs
     ctx = ment.groupBy("conv_id").agg(
         F.aggregate(
-            F.collect_list("m_emb"),
+            F.array_sort(F.collect_list(F.struct("mention", "m_emb"))),
             F.array_repeat(F.lit(0.0), EMB_DIM),
-            lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y.cast("double")),
+            lambda acc, t: F.zip_with(
+                acc, t["m_emb"], lambda x, y: x + y.cast("double")
+            ),
         ).alias("ctx_emb")
     )
     scored = rows.join(ctx, "conv_id").withColumn(

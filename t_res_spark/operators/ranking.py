@@ -97,9 +97,16 @@ def classify_ocr_variants(
     )
     thr = F.lit(fuzz_ratio_threshold)
     len_diff = F.length("word") - F.length("nn_word")
+    # the reference skips containment pairs outright
+    # (deezy_processing.py:52: 'not nn_word in word and not word in
+    # nn_word') — suffix/prefix extensions must never become examples
+    contained = (F.instr("word", F.col("nn_word")) > 0) | (
+        F.instr("nn_word", F.col("word")) > 0
+    )
     return scored.withColumn(
         "label",
-        F.when(
+        F.when(contained, F.lit("neutral"))
+        .when(
             (~F.col("nn_is_english")) & (F.col("r1") > thr) & (F.col("r2") > thr),
             F.lit("positive"),
         )

@@ -178,21 +178,27 @@ def ivf_train_centroids(
         .limit(sample_size)
         .collect()
     )
+    if not rows:
+        raise ValueError("ivf_train_centroids: empty vectors DataFrame")
     x = np.asarray([r[0] for r in rows], dtype=np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
-    # k-means++ init
+    # k-means++ init; stop early when the sample has fewer distinct
+    # points than k (duplicate-heavy corpora) — residual distances all
+    # zero means every point is already covered
     cents = [x[rng.randint(len(x))]]
     for _ in range(1, k):
         d2 = np.min(
             [np.sum((x - c) ** 2, axis=1) for c in cents], axis=0
         )
-        probs = d2 / max(d2.sum(), 1e-12)
-        cents.append(x[rng.choice(len(x), p=probs)])
+        total = d2.sum()
+        if total <= 1e-12:
+            break
+        cents.append(x[rng.choice(len(x), p=d2 / total)])
     c = np.asarray(cents)
     for _ in range(iters):
         assign = np.argmax(x @ c.T, axis=1)  # unit vectors: cosine argmax
-        for j in range(k):
+        for j in range(len(c)):
             m = x[assign == j]
             if len(m):
                 cj = m.mean(axis=0)

@@ -5,12 +5,11 @@ The reference's primary batch input is a TSV whose ``sentences`` and
 row with ``ast.literal_eval``
 (/root/reference/utils/process_data.py:18-128 ``eval_with_exception`` /
 ``prepare_sents``). Spark-first re-expression: ``from_json`` with an
-explicit array-of-struct schema + ``explode`` — JSON parsing stays in
-the JVM (whole-stage codegen), no Python anywhere.
-
-Malformed cells degrade to empty lists exactly like the reference's
-``eval_with_exception(..., in_case=[])`` (``from_json`` yields NULL on
-parse failure; we coalesce to an empty array).
+explicit array-of-struct schema + ``explode`` as the JVM fast path,
+plus an Arrow-batched ``literal_eval`` fallback for the reference's
+actual single-quoted-repr cells (see ``_parsed_list``); genuinely
+malformed cells degrade to empty lists exactly like the reference's
+``eval_with_exception(..., in_case=[])``.
 
 Output contracts mirror ``prepare_sents``'s three dicts, as frames:
 - sentences(article_id, sent_pos, sentence_text)      (dSentences)
@@ -22,9 +21,11 @@ Output contracts mirror ``prepare_sents``'s three dicts, as frames:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import pandas as pd
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 SENTENCES_SCHEMA = T.ArrayType(
     T.StructType(
@@ -49,14 +50,44 @@ ANNOTATIONS_SCHEMA = T.ArrayType(
 )
 
 
+def _parsed_list(col: str, schema: T.ArrayType) -> Column:
+    """JSON fast path + Python-repr fallback for a stringified-list
+    column.
+
+    The reference's REAL TSV cells are ``str()`` reprs with single
+    quotes (hence its ``ast.literal_eval``), which are NOT valid JSON —
+    ``from_json`` alone would silently null every well-formed reference
+    cell. So: try ``from_json`` (JVM, codegen), and where it nulls out,
+    fall back to an Arrow-batched ``literal_eval`` that converts the
+    repr to JSON and re-parses. Cells neither format can parse degrade
+    to an empty list — the reference's ``eval_with_exception(..., [])``
+    behavior, now applied to genuinely malformed cells only."""
+
+    @pandas_udf(T.StringType())
+    def pyrepr_to_json(s: pd.Series) -> pd.Series:
+        import json
+        from ast import literal_eval
+
+        def conv(x):
+            if x is None:
+                return None
+            try:
+                v = literal_eval(x)
+                return json.dumps(v) if isinstance(v, list) else None
+            except (ValueError, SyntaxError):
+                return None
+
+        return s.map(conv)
+
+    direct = F.from_json(col, schema)
+    fallback = F.from_json(pyrepr_to_json(F.col(col)), schema)
+    return F.coalesce(direct, fallback, F.array().cast(schema))
+
+
 def parse_sentences(rows: DataFrame, id_col: str = "article_id") -> DataFrame:
     """Stringified ``sentences`` column → one row per sentence."""
     parsed = rows.select(
-        F.col(id_col),
-        F.coalesce(
-            F.from_json("sentences", SENTENCES_SCHEMA),
-            F.array().cast(SENTENCES_SCHEMA),
-        ).alias("s"),
+        F.col(id_col), _parsed_list("sentences", SENTENCES_SCHEMA).alias("s")
     )
     return parsed.select(
         id_col, F.explode("s").alias("sent")
@@ -71,11 +102,7 @@ def parse_annotations(rows: DataFrame, id_col: str = "article_id") -> DataFrame:
     """Stringified ``annotations`` column → one row per annotation,
     with the reference's NIL link rule applied."""
     parsed = rows.select(
-        F.col(id_col),
-        F.coalesce(
-            F.from_json("annotations", ANNOTATIONS_SCHEMA),
-            F.array().cast(ANNOTATIONS_SCHEMA),
-        ).alias("a"),
+        F.col(id_col), _parsed_list("annotations", ANNOTATIONS_SCHEMA).alias("a")
     )
     exploded = parsed.select(id_col, F.explode("a").alias("ann"))
     qid = F.col("ann.wkdt_qid")

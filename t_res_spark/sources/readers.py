@@ -47,19 +47,19 @@ def wiki_title_lookup(
     titles: DataFrame,
     mapping: DataFrame,
     title_col: str = "page_title",
-    lower: bool = False,
 ) -> DataFrame:
     """S15 — resolve Wikipedia page titles to Wikidata QIDs.
 
     ``mapping`` is the offline-prepared (wiki_key, qid) table (the
     content of the reference's SQLite db); both sides key on the same
-    normalizer so the join is consistent by construction. ``lower``
-    mirrors title_to_id's lower flag. Misses keep NULL qid (the
-    reference returns None)."""
-    key = wikipedia_to_wikidata_key(
-        F.lower(F.col(title_col)) if lower else F.col(title_col)
+    normalizer so the join is consistent by construction. The shared
+    normalizer lowercases unconditionally (make_wikilinks_consistent
+    does too), so there is no case-sensitive lookup variant — the
+    reference's title_to_id ``lower`` flag is subsumed. Misses keep
+    NULL qid (the reference returns None)."""
+    keyed = titles.withColumn(
+        "wiki_key", wikipedia_to_wikidata_key(F.col(title_col))
     )
-    keyed = titles.withColumn("wiki_key", key)
     m = mapping.select(
         F.col("wiki_key").alias("wiki_key"), F.col("qid").alias("qid")
     )

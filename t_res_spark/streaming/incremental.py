@@ -124,9 +124,12 @@ class IncrementalResolver:
         import shutil
 
         live, old = self._roots_path(), self._roots_path() + "_old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        # _old is only deleted while live exists — on a recovery batch
+        # (prior crash left ONLY _old), deleting it before promoting
+        # _next would open a window with no durable copy at all
         if os.path.exists(live):
+            if os.path.exists(old):
+                shutil.rmtree(old)
             os.rename(live, old)
         os.rename(live + "_next", live)
         if os.path.exists(old):

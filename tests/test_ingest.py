@@ -32,3 +32,26 @@ def test_parse_annotated_rows(spark):
     by_pos = {(r["article_id"], r["sent_pos"]): r for r in j}
     assert by_pos[("a1", 1)]["mention"] == "London"
     assert by_pos[("a1", 2)]["mention"] is None  # unannotated sentences kept
+
+
+def test_parse_python_repr_cells(spark):
+    """The reference's REAL TSV cells are single-quoted str() reprs
+    (why it uses literal_eval) — the Arrow-batched fallback must parse
+    them identically to JSON cells."""
+    from t_res_spark.sources.ingest import parse_annotations, parse_sentences
+
+    rows = spark.createDataFrame(
+        [
+            (
+                "a1",
+                "[{'sentence_pos': 1, 'sentence_text': \"Bob's house in London\"}]",
+                "[{'sent_pos': 1, 'mention': 'London', 'entity_type': 'LOC', "
+                "'wkdt_qid': 'Q84', 'mention_start': 14, 'mention_end': 20}]",
+            ),
+        ],
+        "article_id string, sentences string, annotations string",
+    )
+    s = parse_sentences(rows).collect()
+    assert len(s) == 1 and s[0]["sentence_text"] == "Bob's house in London"
+    a = parse_annotations(rows).collect()
+    assert len(a) == 1 and a[0]["qid"] == "Q84" and a[0]["mention_start"] == 14

@@ -180,3 +180,14 @@ def test_classify_ocr_variants(spark):
     assert got["shetfield"] == "positive"
     assert got["stratford"] == "negative"
     assert got["sheffield"] == "neutral"
+
+
+def test_classify_ocr_variants_containment_guard(spark):
+    """deezy_processing.py:52 — containment pairs are skipped outright,
+    never labelled positive/negative."""
+    pairs = spark.createDataFrame(
+        [("care", "carex", False), ("blackpool", "pool", True)],
+        "word string, nn_word string, nn_is_english boolean",
+    )
+    got = {r["nn_word"]: r["label"] for r in ranking.classify_ocr_variants(pairs).collect()}
+    assert got == {"carex": "neutral", "pool": "neutral"}

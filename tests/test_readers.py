@@ -83,14 +83,19 @@ def test_f9_f10_f13_normalizers(spark):
         normalize_wiki_url(F.col("u")).alias("nu"),
         wikipedia_to_wikidata_key(F.col("u")).alias("wk"),
         normalize_vocab_token(F.col("b")).alias("nb"),
-        normalize_vocab_token(F.col("t")).alias("nt"),
+        normalize_vocab_token(F.col("t"), lower=True, digit_0=True).alias("nt"),
+        normalize_vocab_token(F.col("t")).alias("nt_default"),
         normalize_vocab_token(F.lit("#UNK#")).alias("unk"),
         zfill_code(F.col("c")).alias("z"),
+        # malformed percent-escape must pass through, not abort the job
+        wikipedia_to_wikidata_key(F.lit("100%_wool")).alias("bad_pct"),
     ).collect()[0]
     # form-encoding variant: space -> '+' (documented delta vs quote())
     assert r["nu"] == "python+%28programming+language%29"
     assert r["wk"] == "python_(programming_language)"
     assert r["nb"] == "["
     assert r["nt"] == "r0d0"
+    assert r["nt_default"] == "R2D2"  # reference defaults: no lower/digit_0
     assert r["unk"] == "#UNK#"   # special tokens pass through
     assert r["z"] == "0000007"
+    assert r["bad_pct"] == "100%_wool"

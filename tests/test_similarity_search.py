@@ -112,3 +112,15 @@ def test_ivf_candidate_volume_bounded(spark):
     sizes = [r["n"] for r in cells.groupBy("cell").agg(F.count("*").alias("n")).collect()]
     assert len(sizes) >= 4           # centroids actually used
     assert max(sizes) < 400 * 0.6    # no degenerate single cell
+
+
+def test_ivf_train_degenerate_sample(spark):
+    """Duplicate-heavy samples (fewer distinct points than k) must not
+    crash k-means++ — centroids stop early at the distinct count."""
+    from t_res_spark.operators.similarity_search import ivf_train_centroids
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(50)]
+    rows += [(100 + i, [0.0, 1.0, 0.0, 0.0]) for i in range(50)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_train_centroids(vecs, k=16, sample_size=100, seed=3)
+    assert 1 <= len(cents) <= 2
