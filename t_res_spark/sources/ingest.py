@@ -84,11 +84,34 @@ def _parsed_list(col: str, schema: T.ArrayType) -> Column:
     return F.coalesce(direct, fallback, F.array().cast(schema))
 
 
+def _parse_rows(
+    rows: DataFrame, id_col: str, col: str, schema: T.ArrayType, out: str
+) -> DataFrame:
+    """(id, parsed array) — JSON rows stay fully JVM-side; only
+    non-JSON-shaped rows route through the literal_eval UDF.
+
+    Spark evaluates Python UDFs for every row of a projection even
+    inside an untaken CASE branch (BatchEvalPython extraction), so the
+    split is a pair of filtered branches + union: a pure-JSON corpus
+    never starts a Python worker, a repr corpus pays Arrow once. The
+    shape probe is a cheap anchored regex (JSON object lists open with
+    '[{"'; reprs with \"[{'\")."""
+    jsonish = F.coalesce(
+        F.col(col).rlike('^\\s*(\\[\\s*\\{\\s*"|\\[\\s*\\])'), F.lit(False)
+    )
+    jvm = rows.filter(jsonish).select(
+        F.col(id_col),
+        F.coalesce(F.from_json(col, schema), F.array().cast(schema)).alias(out),
+    )
+    py = rows.filter(~jsonish).select(
+        F.col(id_col), _parsed_list(col, schema).alias(out)
+    )
+    return jvm.unionByName(py)
+
+
 def parse_sentences(rows: DataFrame, id_col: str = "article_id") -> DataFrame:
     """Stringified ``sentences`` column → one row per sentence."""
-    parsed = rows.select(
-        F.col(id_col), _parsed_list("sentences", SENTENCES_SCHEMA).alias("s")
-    )
+    parsed = _parse_rows(rows, id_col, "sentences", SENTENCES_SCHEMA, "s")
     return parsed.select(
         id_col, F.explode("s").alias("sent")
     ).select(
@@ -101,9 +124,7 @@ def parse_sentences(rows: DataFrame, id_col: str = "article_id") -> DataFrame:
 def parse_annotations(rows: DataFrame, id_col: str = "article_id") -> DataFrame:
     """Stringified ``annotations`` column → one row per annotation,
     with the reference's NIL link rule applied."""
-    parsed = rows.select(
-        F.col(id_col), _parsed_list("annotations", ANNOTATIONS_SCHEMA).alias("a")
-    )
+    parsed = _parse_rows(rows, id_col, "annotations", ANNOTATIONS_SCHEMA, "a")
     exploded = parsed.select(id_col, F.explode("a").alias("ann"))
     qid = F.col("ann.wkdt_qid")
     return exploded.select(
