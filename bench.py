@@ -66,7 +66,63 @@ def derived_transcripts_amplified(spark: SparkSession, sf_dir: str, factor: int)
     return df
 
 
-def bench_pipeline(spark: SparkSession, sf_dir: str) -> tuple[float, int, int]:
+def pipeline_pairwise_f1(clusters, factor: int) -> float:
+    """Pairwise F1 vs the PLANTED truth at bench scale (the
+    BASELINE.json metric, evidenced on the measured input, not just the
+    test fixtures): each derived turn g = doc_id*factor+turn_idx plants
+    nation g % 25, so consecutive-g labeled pairs have truth =
+    same-nation and prediction = same-cluster. Planted mentions are the
+    non-NIL resolutions (noise mentions don't resolve against the
+    nation KB). Computed OUTSIDE the timed region."""
+    planted = (
+        clusters.filter(F.col("prediction") != "NIL")
+        .withColumn(
+            "doc_id", F.regexp_extract("mention_id", "^conv(\\d+):", 1).cast("long")
+        )
+        .withColumn(
+            "turn_idx",
+            F.regexp_extract("mention_id", "^conv\\d+:(\\d+):", 1).cast("long"),
+        )
+        .withColumn("g", F.col("doc_id") * factor + F.col("turn_idx"))
+    )
+    from pyspark.sql import Window
+
+    one = (
+        planted.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("g").orderBy("mention_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("g", "cluster_id", (F.col("g") % 25).alias("truth"))
+    )
+    # truth is g % 25, so (g, g+1) pairs are always cross-entity
+    # (negatives) and (g, g+25) pairs always same-entity (positives) —
+    # both kinds are needed or precision/recall are vacuous
+    b = one.select(
+        (F.col("g") - 1).alias("g"),
+        F.col("cluster_id").alias("cluster_b"),
+        F.col("truth").alias("truth_b"),
+    ).unionByName(
+        one.select(
+            (F.col("g") - 25).alias("g"),
+            F.col("cluster_id").alias("cluster_b"),
+            F.col("truth").alias("truth_b"),
+        )
+    )
+    scored = one.join(b, "g").select(
+        (F.col("cluster_id") == F.col("cluster_b")).alias("pred_same"),
+        (F.col("truth") == F.col("truth_b")).alias("same_entity"),
+    )
+    row = scored.agg(
+        F.sum((F.col("pred_same") & F.col("same_entity")).cast("long")).alias("tp"),
+        F.sum((F.col("pred_same") & ~F.col("same_entity")).cast("long")).alias("fp"),
+        F.sum((~F.col("pred_same") & F.col("same_entity")).cast("long")).alias("fn"),
+    ).collect()[0]
+    tp, fp, fn = row["tp"] or 0, row["fp"] or 0, row["fn"] or 0
+    return round(2 * tp / max(2 * tp + fp + fn, 1), 4)
+
+
+def bench_pipeline(spark: SparkSession, sf_dir: str) -> tuple[float, int, int, float]:
     import __spark_entry__ as entry_mod
     from t_res_spark.plans.pipeline import PipelineConfig, resolve
 
@@ -81,7 +137,9 @@ def bench_pipeline(spark: SparkSession, sf_dir: str) -> tuple[float, int, int]:
     t0 = time.time()
     res = resolve(spark, transcripts, aliases, config=PipelineConfig())
     n_clusters = res.clusters.count()
-    return time.time() - t0, n_turns, n_clusters
+    e2e = time.time() - t0
+    f1 = pipeline_pairwise_f1(res.clusters, TURNS_FACTOR)
+    return e2e, n_turns, n_clusters, f1
 
 
 def main() -> None:
@@ -144,7 +202,7 @@ def main() -> None:
 
         gc.collect()
 
-    e2e_sec, n_turns, n_clusters = bench_pipeline(spark, SF_DIR)
+    e2e_sec, n_turns, n_clusters, pair_f1 = bench_pipeline(spark, SF_DIR)
     per_query["er_pipeline_e2e"] = round(e2e_sec, 3)
 
     print(
@@ -158,6 +216,7 @@ def main() -> None:
                 "turns": n_turns,
                 "clusters": n_clusters,
                 "turns_per_sec": round(n_turns / e2e_sec, 1),
+                "pairwise_f1": pair_f1,
                 "cpus": int(CPUS),
             }
         )
