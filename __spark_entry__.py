@@ -937,31 +937,46 @@ def q_s8_webanno(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_s9_hipe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S9 — HIPE-2022 parse: declarative doc-id propagation + per-doc
-    applyInPandas offset reconstruction (preprocess_data.py:464-707).
-    Sequential reconstruction → rows-only."""
+# HIPE-2022 fixture lines: TAB-separated (the real format), with
+# multi-word nation names kept as ONE token — whitespace-splitting
+# would mis-column them, which is exactly what the tab parser fixes.
+HIPE_LINES_SQL = """
+SELECT 'mem' AS file, c_custkey * 3 AS line_no,
+       '# hipe2022:document_id = doc' || CAST(c_custkey AS STRING) AS line
+FROM customer WHERE c_custkey % 13 = 0
+UNION ALL
+SELECT 'mem', c_custkey * 3 + 1,
+       concat_ws(chr(9), lower(n_name), 'B-loc', 'O', 'B-loc', 'O', 'O', 'O',
+                 'Q' || CAST(c_nationkey AS STRING), 'O', '_') AS line
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey % 13 = 0
+UNION ALL
+SELECT 'mem', c_custkey * 3 + 2,
+       concat_ws(chr(9), 'endtoken', 'O', 'O', 'O', 'O', 'O', 'O', 'O', 'O',
+                 'EndOfSentence') AS line
+FROM customer WHERE c_custkey % 13 = 0
+"""
+
+
+def q_s9_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9a — the DECLARATIVE half of the HIPE parse (doc-id propagation
+    window + tab column split), oracle-gated: the oracle constructs the
+    expected token table directly, mirroring s8_webanno's strategy."""
+    from t_res_spark.sources.annotations import hipe_token_table
+
+    _register(spark, sf_dir)
+    return hipe_token_table(spark.sql(HIPE_LINES_SQL))
+
+
+def q_s9_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9b — full HIPE-2022 parse: declarative doc-id propagation +
+    per-doc applyInPandas offset reconstruction
+    (preprocess_data.py:464-707). Sequential reconstruction →
+    rows-only (the declarative half is oracle-gated as s9_tokens)."""
     from t_res_spark.sources.annotations import parse_hipe
 
     _register(spark, sf_dir)
-    lines = spark.sql(
-        """
-        SELECT 'mem' AS file, c_custkey * 3 AS line_no,
-               '# hipe2022:document_id = doc' || CAST(c_custkey AS STRING) AS line
-        FROM customer WHERE c_custkey % 13 = 0
-        UNION ALL
-        SELECT 'mem', c_custkey * 3 + 1,
-               lower(n_name) || ' B-loc O B-loc O O O Q'
-                || CAST(c_nationkey AS STRING) || ' O _'
-        FROM customer JOIN nation ON c_nationkey = n_nationkey
-        WHERE c_custkey % 13 = 0
-        UNION ALL
-        SELECT 'mem', c_custkey * 3 + 2,
-               'endtoken O O O O O O O O EndOfSentence'
-        FROM customer WHERE c_custkey % 13 = 0
-        """
-    )
-    return parse_hipe(lines)
+    return parse_hipe(spark.sql(HIPE_LINES_SQL))
 
 
 def q_s15_title_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1155,7 +1170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f4_ocr_variants": q_f4_ocr_variants,
         "ml2_bio_repair": q_ml2_bio_repair,
         "e2e_experiment": q_e2e_experiment,
-        "s9_hipe": q_s9_hipe,
+        "s9_tokens": q_s9_tokens,
+        "s9_mentions": q_s9_mentions,
         "f5b_bydistance_op": q_f5b_bydistance_op,
         "er_clusters": q_er_clusters,
         "ctx_disambiguate": q_ctx_disambiguate,
@@ -1597,6 +1613,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT t.page_title, m.qid
             FROM titles t LEFT JOIN mapping m ON t.k = m.k
+        """,
+        "s9_tokens": """
+            -- expected declarative token table constructed directly
+            -- (the Spark side window-propagates doc ids + tab-splits)
+            SELECT 'doc' || CAST(c_custkey AS STRING) AS article_id,
+                   c_custkey * 3 + 1 AS line_no,
+                   lower(n_name) AS token, 'B-loc' AS etag,
+                   'Q' || CAST(c_nationkey AS STRING) AS elink, '_' AS misc
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_custkey % 13 = 0
+            UNION ALL
+            SELECT 'doc' || CAST(c_custkey AS STRING), c_custkey * 3 + 2,
+                   'endtoken', 'O', 'O', 'EndOfSentence'
+            FROM customer WHERE c_custkey % 13 = 0
         """,
         "s8_webanno": """
             -- expected parse output constructed directly (the Spark

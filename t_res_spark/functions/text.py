@@ -96,8 +96,14 @@ def wikipedia_to_wikidata_key(entity: Column) -> Column:
 
 def zfill_code(code: Column, width: int = 7) -> Column:
     """F10 — ``str(code).zfill(7)`` for publication codes
-    (/root/reference/utils/preprocess_data.py:307): ``lpad`` with '0'."""
-    return F.lpad(code.cast("string"), width, "0")
+    (/root/reference/utils/preprocess_data.py:307).
+
+    NOT a bare ``lpad``: lpad TRUNCATES values longer than ``width`` to
+    their first ``width`` chars, silently colliding distinct >7-digit
+    codes; ``str.zfill`` never truncates, so over-width codes pass
+    through unchanged."""
+    s = code.cast("string")
+    return F.when(F.length(s) >= width, s).otherwise(F.lpad(s, width, "0"))
 
 
 _BRACKETS = {

@@ -205,11 +205,20 @@ def jaccard_verify(
     )
 
 
+def _estimate_margin(num_hashes: int) -> float:
+    """Margin for the signature-estimate pre-filter, derived from the
+    signature length: the matching-position estimator has std error
+    sqrt(J(1-J)/k) ≤ 1/(2*sqrt(k)), so 2/sqrt(k) is a ~4-sigma band —
+    borderline true pairs survive at any ``num_hashes`` (a fixed 0.1
+    calibrated for k=64 would silently drop true duplicates at k=16)."""
+    return 2.0 / max(num_hashes, 1) ** 0.5
+
+
 def signature_estimate_filter(
     pairs: DataFrame,
     signatures: DataFrame,
     threshold: float,
-    margin: float = 0.1,
+    margin: float | None = None,
 ) -> DataFrame:
     """Pre-filter candidate pairs by the MinHash Jaccard ESTIMATE
     (fraction of matching signature positions) before the exact verify.
@@ -217,10 +226,9 @@ def signature_estimate_filter(
     The estimate is free — the signatures already exist and are ~512 B
     per row vs. full shingle arrays (KBs) — so only pairs whose estimate
     clears ``threshold - margin`` pay the shingle-array shuffle of
-    ``jaccard_verify``. With 64 hashes the estimator's std error is
-    ≤ 1/16, so a 0.1 margin keeps ≥ ~95% of true-positive borderline
-    pairs while discarding the LSH family's many sub-threshold
-    collisions."""
+    ``jaccard_verify``. ``margin=None`` derives 2/sqrt(num_hashes) from
+    the actual signature length (≈4 std errors of the estimator), so
+    recall holds whether callers use 64 hashes or 16."""
     sa = signatures.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
     sb = signatures.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
     est = F.aggregate(
@@ -228,13 +236,14 @@ def signature_estimate_filter(
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.greatest(F.size("sig_a"), F.lit(1))
-    return (
-        pairs.join(sa, "a")
-        .join(sb, "b")
-        .withColumn("est_jaccard", est)
-        .filter(F.col("est_jaccard") >= F.lit(threshold - margin))
-        .select("a", "b")
-    )
+    joined = pairs.join(sa, "a").join(sb, "b").withColumn("est_jaccard", est)
+    if margin is None:
+        cut = F.lit(threshold) - F.lit(2.0) / F.sqrt(
+            F.greatest(F.size("sig_a"), F.lit(1)).cast("double")
+        )
+    else:
+        cut = F.lit(threshold - margin)
+    return joined.filter(F.col("est_jaccard") >= cut).select("a", "b")
 
 
 def near_duplicate_clusters(

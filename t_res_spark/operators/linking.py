@@ -98,10 +98,15 @@ def by_distance(
         F.col("lat").alias("olat"),
         F.col("lon").alias("olon"),
     )
+    # No broadcast hints: a real gazetteer is ~10M rows with class
+    # strings (hundreds of MB serialized) — at the edge of safe
+    # broadcast. AQE promotes these joins to broadcast when the side is
+    # actually small and sort-merges otherwise (same treatment as the
+    # ranking-side corpus joins; plan-tested for no ResolvedHint).
     scored = (
-        candidates.join(F.broadcast(coords), "qid", "inner")
+        candidates.join(coords, "qid", "inner")
         .join(origins, "mention", "inner")
-        .join(F.broadcast(ocoords), "origin_qid", "inner")
+        .join(ocoords, "origin_qid", "inner")
         .withColumn(
             "geodist",
             haversine_km(F.col("olat"), F.col("olon"), F.col("lat"), F.col("lon")),
@@ -204,8 +209,10 @@ def link_mentions(
         .withColumn("lr_conf", lr_confidence(F.col("link_score")))
     )
     if entities is not None:
+        # no forced broadcast of the gazetteer dimension (see
+        # by_distance) — AQE picks the strategy from actual size
         decor = entities.select(
             F.col("qid").alias("prediction"), "lat", "lon", "wkdt_class"
         )
-        out = out.join(F.broadcast(decor), "prediction", "left")
+        out = out.join(decor, "prediction", "left")
     return out

@@ -73,6 +73,11 @@ def srp_bucket(vec_col, planes: list[list[float]]):
     nested literal array, constant-folded by Catalyst to one
     ArrayData."""
     bits = len(planes)
+    # 2^i is exact in a double for any i here, but the long cast of
+    # 2^63 overflows (and 2^62+2^61+… sums can too once accumulated) —
+    # bound bits so every partial sum stays inside int64
+    if bits > 62:
+        raise ValueError(f"srp_bucket supports at most 62 bits, got {bits}")
     planes_arr = F.array(
         *[F.array(*[F.lit(float(x)) for x in p]) for p in planes]
     )
@@ -90,8 +95,9 @@ def srp_bucket(vec_col, planes: list[list[float]]):
             lambda a, i: a + s["v"] * F.get(F.get(planes_arr, i), s["j"]),
         ),
     )
-    # sign bits → bucket id, again one traversal (2^i is exact in a
-    # double for i < 53, cast back to long)
+    # sign bits → bucket id, again one traversal (powers of two are
+    # exact in a double well past 53; bits <= 62 keeps the long cast
+    # and the accumulated sum inside int64)
     return F.aggregate(
         F.zip_with(
             projs,

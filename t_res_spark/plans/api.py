@@ -21,7 +21,11 @@ import re
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-_SENTENCE = re.compile(r"[^.!?]+[.!?]*\s*")
+# Second alternative captures punctuation-only runs (a text starting
+# with '...' or '?!'), so every character lands in exactly one chunk
+# and concatenation restores the text — the stated invariant — instead
+# of silently dropping leading sentence punctuation.
+_SENTENCE = re.compile(r"[^.!?]+[.!?]*\s*|[.!?]+\s*")
 
 
 def split_sentences(text: str) -> list[tuple[int, str, int]]:

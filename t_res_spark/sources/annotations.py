@@ -142,6 +142,55 @@ def parse_webanno(lines: DataFrame) -> tuple[DataFrame, DataFrame]:
     return tokens, mentions
 
 
+def _hipe_with_article_id(lines: DataFrame) -> DataFrame:
+    """Declarative doc-id propagation: each ``# hipe2022:document_id``
+    comment opens a document; later lines inherit it via last-non-null
+    over the per-file line order."""
+    doc_w = (
+        Window.partitionBy("file")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return lines.withColumn(
+        "doc_marker",
+        F.when(
+            F.col("line").startswith("# hipe2022:document_id"),
+            F.trim(F.element_at(F.split("line", "= "), -1)),
+        ),
+    ).withColumn("article_id", F.last("doc_marker", ignorenulls=True).over(doc_w))
+
+
+def hipe_token_table(lines: DataFrame) -> DataFrame:
+    """The fully DECLARATIVE half of the HIPE parse (S9), as its own
+    operator: doc-id propagation + column split of well-formed 10-column
+    token lines → (article_id, line_no, token, etag, elink, misc).
+    No sequential state — window + native split only (DuckDB-expressible,
+    oracle-gated as s9_tokens); offset reconstruction stays in
+    ``parse_hipe``. Tab-separated per the HIPE-2022 spec, with a
+    whitespace fallback for legacy space-separated fixtures."""
+    tagged = _hipe_with_article_id(lines)
+    cols = F.when(
+        F.col("line").contains("\t"), F.split("line", "\t")
+    ).otherwise(F.split(F.trim("line"), "\\s+"))
+    return (
+        tagged.filter(
+            F.col("article_id").isNotNull()
+            & ~F.col("line").startswith("#")
+            & (F.length(F.trim("line")) > 0)
+        )
+        .withColumn("c", cols)
+        .filter(F.size("c") == 10)
+        .select(
+            "article_id",
+            "line_no",
+            F.col("c")[0].alias("token"),
+            F.col("c")[1].alias("etag"),
+            F.col("c")[7].alias("elink"),
+            F.col("c")[9].alias("misc"),
+        )
+    )
+
+
 HIPE_OUT_SCHEMA = T.StructType(
     [
         T.StructField("article_id", T.StringType(), False),
@@ -168,18 +217,7 @@ def parse_hipe(lines: DataFrame) -> DataFrame:
     Sequential part (per document, applyInPandas): running char index →
     token offsets, sentence splits on the MISC ``EndOfSentence`` marker,
     B-/I- runs → mention spans with reconstructed offsets."""
-    doc_w = (
-        Window.partitionBy("file")
-        .orderBy("line_no")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    tagged = lines.withColumn(
-        "doc_marker",
-        F.when(
-            F.col("line").startswith("# hipe2022:document_id"),
-            F.trim(F.element_at(F.split("line", "= "), -1)),
-        ),
-    ).withColumn("article_id", F.last("doc_marker", ignorenulls=True).over(doc_w))
+    tagged = _hipe_with_article_id(lines)
     toklines = tagged.filter(
         F.col("article_id").isNotNull()
         & ~F.col("line").startswith("#")
@@ -192,6 +230,7 @@ def parse_hipe(lines: DataFrame) -> DataFrame:
             grp = grp.sort_values("line_no")
             sent_pos = 0
             sent_text = ""
+            dropped = 0
             open_mention = None  # (start, text, etype, qid)
 
             def close_mention():
@@ -215,8 +254,16 @@ def parse_hipe(lines: DataFrame) -> DataFrame:
                     sent_text = ""
 
             for line in grp["line"]:
-                cols = line.strip().split()
+                # HIPE-2022 TSVs are TAB-separated with possibly-empty
+                # columns and tokens that may contain spaces — a
+                # whitespace split() would collapse/mis-column those
+                # rows (preprocess_data.py:464-707 splits on '\t' too).
+                # Legacy space-separated fixtures (no tab present) still
+                # parse via the fallback.
+                raw = line.rstrip("\n")
+                cols = raw.split("\t") if "\t" in raw else raw.strip().split()
                 if len(cols) != 10:
+                    dropped += 1
                     continue
                 token, etag, elink, misc = cols[0], cols[1], cols[7], cols[-1]
                 # sentence-relative offsets (the ingest annotation
@@ -238,6 +285,14 @@ def parse_hipe(lines: DataFrame) -> DataFrame:
                     close_sentence()
             close_mention()
             close_sentence()
+            if dropped:
+                # surface malformed-line counts as a diagnostic row
+                # (kind='malformed', mention_start = count) instead of
+                # silently continuing — an audit query can sum these
+                out.append(
+                    (article_id, -1, "malformed", None, None, None,
+                     None, dropped, None)
+                )
         return pd.DataFrame(
             out,
             columns=[f.name for f in HIPE_OUT_SCHEMA.fields],

@@ -85,3 +85,51 @@ def test_parse_hipe_documents(spark, tmp_path):
     assert by_mention["New York"]["wkdt_qid"] == "Q60"
     assert by_mention["New York"]["mention_start"] == 0
     assert by_mention["Berlin"]["wkdt_qid"] == "NIL"  # '_' link -> NIL
+
+
+# Real HIPE-2022 format: TAB-separated, tokens may contain spaces and
+# columns may be empty — whitespace split() would mis-column both.
+HIPE_TABS = "\n".join([
+    "# hipe2022:document_id = tabdoc",
+    "\t".join(["de la Rue", "B-loc", "O", "B-loc", "", "", "O", "Q123", "O", "_"]),
+    "\t".join(["stands", "O", "O", "O", "", "", "O", "O", "O", "EndOfSentence"]),
+    "badline with too few columns",
+    "\t".join(["Paris", "B-loc", "O", "B-loc", "", "", "O", "Q90", "O",
+               "EndOfSentence"]),
+])
+
+
+def test_parse_hipe_tab_separated(spark, tmp_path):
+    """Tab split keeps internal-space tokens and empty columns intact;
+    malformed lines surface as a 'malformed' diagnostic row, not a
+    silent skip (ADVICE r02)."""
+    from t_res_spark.sources.annotations import parse_hipe, read_annotation_lines
+
+    p = tmp_path / "hipe_tabs.tsv"
+    p.write_text(HIPE_TABS)
+    out = parse_hipe(read_annotation_lines(spark, str(p))).collect()
+    anns = {r["mention"]: r for r in out if r["kind"] == "annotation"}
+    assert "de la Rue" in anns and anns["de la Rue"]["wkdt_qid"] == "Q123"
+    sents = [r["text"] for r in out if r["kind"] == "sentence"]
+    assert "de la Rue stands" in sents
+    bad = [r for r in out if r["kind"] == "malformed"]
+    assert len(bad) == 1 and bad[0]["mention_start"] == 1  # dropped count
+
+
+def test_hipe_token_table_declarative(spark, tmp_path):
+    """S9a — the declarative half alone: doc-id propagation + tab
+    column split, no sequential state."""
+    from t_res_spark.sources.annotations import (
+        hipe_token_table,
+        read_annotation_lines,
+    )
+
+    p = tmp_path / "hipe_tok.tsv"
+    p.write_text(HIPE_TABS)
+    rows = {r["token"]: r for r in
+            hipe_token_table(read_annotation_lines(spark, str(p))).collect()}
+    assert "badline" not in " ".join(rows)  # malformed line filtered
+    assert rows["de la Rue"]["article_id"] == "tabdoc"
+    assert rows["de la Rue"]["etag"] == "B-loc"
+    assert rows["de la Rue"]["elink"] == "Q123"
+    assert rows["Paris"]["misc"] == "EndOfSentence"

@@ -9,6 +9,9 @@ def test_split_sentences_preserves_text():
     assert "".join(s for _, s, _ in parts) == text
     for i, s, off in parts:
         assert text[off : off + len(s)] == s
+    # leading punctuation runs must not be dropped (ADVICE r02)
+    for tricky in ("...Ellipsis first. Then London.", "?! What. ", "..."):
+        assert "".join(s for _, s, _ in split_sentences(tricky)) == tricky
 
 
 def test_run_text_reference_shape(spark):

@@ -71,7 +71,10 @@ def test_embedding_near_duplicates(spark):
 
 def test_simhash_hamming(docs):
     fps = dedup.simhash(docs)
-    pairs = dedup.simhash_near_pairs(fps, max_hamming=12)
+    # max_hamming ≤ bands-1 (3 here): the pigeonhole recall guarantee
+    # only holds inside that bound — this test encodes the actual
+    # recall contract, not a looser parameter that reads as guaranteed
+    pairs = dedup.simhash_near_pairs(fps, max_hamming=3)
     got = {(r["a"], r["b"]) for r in pairs.collect()}
     assert (0, 1) in got  # identical text → hamming 0
     fp = {r["doc_id"]: r["simhash"] for r in fps.collect()}

@@ -70,6 +70,31 @@ def test_by_distance_flip(spark, cands):
     assert far["London"] == "Q92561"  # flip, linking.py golden :74-83
 
 
+def test_linking_no_forced_broadcast(spark, cands):
+    """Scale guard (mirror of tests/test_ranking.py's ranking-side plan
+    test): neither by_distance nor link_mentions may FORCE a broadcast
+    of the entities dimension — a real gazetteer is ~10M rows with class
+    strings (hundreds of MB serialized). AQE may still promote small
+    sides at runtime; the plan must not pin the strategy."""
+    entities = spark.createDataFrame(
+        [("Q84", 51.5, -0.12, "Q515"), ("Q92561", 44.0, -79.46, "Q515")],
+        "qid string, lat double, lon double, wkdt_class string",
+    )
+    origins = spark.createDataFrame(
+        [("London", "Q84")], "mention string, origin_qid string"
+    )
+    mentions = spark.createDataFrame(
+        [("m1", "London")], "mention_id string, mention string"
+    )
+    for df in (
+        linking.by_distance(cands, entities, origins),
+        linking.link_mentions(mentions, linking.most_popular(cands), entities),
+    ):
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, analyzed
+        assert "UnresolvedHint" not in analyzed, analyzed
+
+
 def test_rank_candidates_math(spark):
     """rel_utils.py:202-225 exact arithmetic + (score, qid)-desc order
     (rel_utils.py:227 — W3 tie-break)."""

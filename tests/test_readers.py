@@ -87,6 +87,8 @@ def test_f9_f10_f13_normalizers(spark):
         normalize_vocab_token(F.col("t")).alias("nt_default"),
         normalize_vocab_token(F.lit("#UNK#")).alias("unk"),
         zfill_code(F.col("c")).alias("z"),
+        # zfill semantics: >width codes pass through UNTRUNCATED
+        zfill_code(F.lit(123456789)).alias("z_long"),
         # malformed percent-escape must pass through, not abort the job
         wikipedia_to_wikidata_key(F.lit("100%_wool")).alias("bad_pct"),
     ).collect()[0]
@@ -98,4 +100,5 @@ def test_f9_f10_f13_normalizers(spark):
     assert r["nt_default"] == "R2D2"  # reference defaults: no lower/digit_0
     assert r["unk"] == "#UNK#"   # special tokens pass through
     assert r["z"] == "0000007"
+    assert r["z_long"] == "123456789"  # str.zfill never truncates
     assert r["bad_pct"] == "100%_wool"

@@ -40,6 +40,17 @@ def test_lsh_finds_planted_neighbor(vectors):
     assert 0 in ids and 19 in ids  # self + near-copy recalled
 
 
+def test_srp_bucket_rejects_overflow_bits():
+    """bits > 62 would overflow the int64 bucket-id accumulation —
+    must fail loudly, not corrupt bucket ids (ADVICE r02)."""
+    import pytest
+
+    from t_res_spark.operators.similarity_search import _hyperplanes, srp_bucket
+
+    with pytest.raises(ValueError, match="62 bits"):
+        srp_bucket(F.col("v"), _hyperplanes(4, 64, seed=1))
+
+
 def test_cosine_matches_numpy(spark, vectors):
     import numpy as np
 
