@@ -77,22 +77,35 @@ def with_conversation_prior(
     ).withColumn("is_prior", F.lit(False)).unionByName(anchors)
 
 
-def _conv_coherence(pdf: pd.DataFrame) -> pd.DataFrame:
+def _conv_coherence(
+    pdf: pd.DataFrame, n_loops: int = N_LOOPS, round_dp: int | None = 3
+) -> pd.DataFrame:
     """Per-conversation damped coherence loop (runs inside Arrow batch).
 
     Input rows: one per (mention_id, qid) candidate with columns
     conv_id, mention_id, mention, qid, prior (normalized popularity),
-    emb (candidate embedding list), is_prior, prior_qid."""
+    emb (candidate embedding list), is_prior, prior_qid.
+
+    ``n_loops=0`` degenerates to argmax(prior) with pinned anchors —
+    the DuckDB-expressible slice the ctx0_prior_argmax gate query
+    checks value-exact (reference math: rel_utils.py:180-231);
+    ``round_dp=None`` keeps raw doubles for bit-stable comparison."""
     out_rows = []
     for conv_id, grp in pdf.groupby("conv_id", sort=True):
-        mention_ids = sorted(grp["mention_id"].unique())
+        # ONE sorted groupby pass builds the per-mention candidate lists
+        # and the mention lookup (the previous per-mention boolean-mask
+        # scans were O(M²) in conversation size — VERDICT r02 wrong #2)
         cand: dict[str, list[tuple[str, float, np.ndarray]]] = {}
-        for mid in mention_ids:
-            g = grp[grp["mention_id"] == mid].sort_values("qid")
+        mention_of: dict[str, str] = {}
+        for mid, g in grp.sort_values(
+            ["mention_id", "qid"], kind="stable"
+        ).groupby("mention_id", sort=True):
             cand[mid] = [
                 (q, float(p), np.asarray(e, dtype=np.float64))
                 for q, p, e in zip(g["qid"], g["prior"], g["emb"])
             ]
+            mention_of[mid] = g["mention"].iloc[0]
+        mention_ids = sorted(cand)
         # anchors are pinned to their prior_qid throughout
         pinned = {
             mid: pq
@@ -103,7 +116,7 @@ def _conv_coherence(pdf: pd.DataFrame) -> pd.DataFrame:
             mid: np.array([p for _, p, _ in cands], dtype=np.float64)
             for mid, cands in cand.items()
         }
-        for _ in range(N_LOOPS):
+        for _ in range(n_loops):
             # current best embedding per mention (pinned anchors fixed)
             best_emb = {}
             for mid, cands in cand.items():
@@ -156,13 +169,14 @@ def _conv_coherence(pdf: pd.DataFrame) -> pd.DataFrame:
             if mid in pinned:
                 continue  # drop anchor rows from output (U4 pop)
             idx = int(np.argmax(scores[mid]))
+            final = float(scores[mid][idx])
             out_rows.append(
                 (
                     conv_id,
                     mid,
-                    grp[grp["mention_id"] == mid]["mention"].iloc[0],
+                    mention_of[mid],
                     cands[idx][0],
-                    round(float(scores[mid][idx]), 3),
+                    round(final, round_dp) if round_dp is not None else final,
                 )
             )
     return pd.DataFrame(
@@ -251,11 +265,17 @@ def context_disambiguate(
     candidates: DataFrame,
     origins: DataFrame | None = None,
     prerank: bool = True,
+    n_loops: int = N_LOOPS,
+    round_dp: int | None = 3,
 ) -> DataFrame:
     """mentions(conv_id, mention_id, mention[, is_prior, prior_qid]) ×
     candidates(mention, qid, relv, abs_relv) → per-mention contextual
     predictions. One shuffle on conv_id; each group is one Arrow batch
-    (the reference's document-minibatch boundary)."""
+    (the reference's document-minibatch boundary).
+
+    ``n_loops=0`` reduces the model to prior-argmax (deterministic,
+    SQL-expressible — the oracle-gated slice); the default 10-loop
+    damped coherence is the MulRelRanker analog."""
     if origins is not None:
         mentions = with_conversation_prior(mentions, origins)
     if "is_prior" not in mentions.columns:
@@ -277,6 +297,10 @@ def context_disambiguate(
     )
     if prerank:
         rows = prerank_truncate(rows)
+
+    def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _conv_coherence(pdf, n_loops=n_loops, round_dp=round_dp)
+
     return rows.groupBy("conv_id").applyInPandas(
-        _conv_coherence, schema=CONTEXT_OUT_SCHEMA
+        _fn, schema=CONTEXT_OUT_SCHEMA
     )

@@ -68,44 +68,52 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>) — MinHash over word-shingle hashes,
-    entirely native column math (no UDF)."""
+    entirely native column math (no UDF).
+
+    Plan shape: explode the shingle hashes, evaluate all ``num_hashes``
+    universal-hash columns as plain codegen'd long arithmetic, and take
+    per-doc mins with a map-side-combinable hash aggregate. Higher-order
+    functions (ArrayAggregate/ArrayTransform) are EXCLUDED from
+    whole-stage codegen — they evaluate interpreted with per-element
+    boxing — so the earlier single-pass ``F.aggregate`` fold over the
+    hash array paid interpreter overhead on every (shingle × hash) step;
+    the explode + groupBy(min) form measured ~25% faster end-to-end at
+    sf0.1 and keeps the hot loop in Tungsten. The added exchange
+    shuffles one pre-combined ~0.5 KB row per doc per partition — the
+    same magnitude as the LSH banding shuffle that follows.
+
+    Note: a doc whose shingle array is null/empty yields no exploded
+    rows and therefore no signature row; downstream cluster surfaces
+    treat missing docs as singletons (the coalesce in
+    ``near_duplicate_clusters``), which is also the only sane semantics
+    for an empty document."""
     import random
 
     rng = random.Random(seed)
-    a_lits = F.array(
-        *[F.lit(rng.randrange(1, _MERSENNE_P)).cast("long") for _ in range(num_hashes)]
-    )
-    b_lits = F.array(
-        *[F.lit(rng.randrange(0, _MERSENNE_P)).cast("long") for _ in range(num_hashes)]
-    )
+    ab = [
+        (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+    P = F.lit(_MERSENNE_P)
     sh = _shingles(F.col(text_col), shingle_n)
-    # Materialize the shingle hashes once (separate projection step):
-    # Catalyst does not CSE across higher-order functions, so folding
-    # num_hashes aggregates over the raw text expression would re-split
-    # and re-hash the document num_hashes times per row.
-    hashed = docs.select(
+    # shingle build stays per-row (one interpreted HOF pass — measured
+    # cheaper than any shuffle-based alternative; JVM string concat is
+    # fast), then hashing/min-folding is all codegen
+    exploded = docs.select(
         "doc_id",
-        F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))).alias("hs"),
+        F.explode(F.transform(sh, lambda s: F.pmod(F.xxhash64(s), P))).alias("x"),
     )
-    # One pass over the hash array, folding an array-of-mins accumulator:
-    # acc[i] = min(acc[i], (x*a[i]+b[i]) mod p) — a single aggregate
-    # expression instead of num_hashes traversals.
-    sig = F.aggregate(
-        F.col("hs"),
-        F.array_repeat(F.lit(_MERSENNE_P).cast("long"), num_hashes),
-        lambda acc, x: F.zip_with(
-            acc,
-            F.zip_with(a_lits, b_lits, lambda a, b: F.struct(a.alias("a"), b.alias("b"))),
-            lambda m, ab: F.least(
-                m,
-                F.pmod(
-                    F.pmod(x * ab["a"], F.lit(_MERSENNE_P)) + ab["b"],
-                    F.lit(_MERSENNE_P),
-                ),
-            ),
-        ),
+    mins = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.pmod(F.col("x") * F.lit(a), P) + F.lit(b), P)).alias(
+                f"h{i}"
+            )
+            for i, (a, b) in enumerate(ab)
+        ]
     )
-    return hashed.select("doc_id", sig.alias("sig"))
+    return mins.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def _bucket_pairs(
@@ -144,38 +152,100 @@ def _bucket_pairs(
     )
 
 
+def _band_hashes(bands: int, rows_per_band: int):
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     signatures: DataFrame,
     bands: int = 16,
     rows_per_band: int = 4,
     bucket_cap: int = 50,
+    estimate_threshold: float | None = None,
 ) -> DataFrame:
     """Band the signatures, bucket, emit candidate (a, b) pairs.
 
     Buckets larger than ``bucket_cap`` are skipped (they are exact
     or near-exact duplicate families — the cheap exact pass catches
-    them; pairing them is O(n²) for no information)."""
+    them; pairing them is O(n²) for no information).
+
+    ``estimate_threshold``: when set, the signature-estimate pre-filter
+    is FUSED into the bucket aggregation — the full (doc_id, sig)
+    structs ride the one banding shuffle, pairs are born inside the
+    bucket row with their estimate already computed (an in-array
+    zip_with/aggregate over the two signatures), and only (a, b)
+    survivors of ``estimate >= threshold - 2/sqrt(num_hashes)`` are
+    exploded. Compared to the unfused plan
+    (pairs → join sigs → join sigs → filter) this removes two
+    signature joins — i.e. two shuffles of every candidate pair —
+    at the cost of cap-bounded O(k²·num_hashes) comparisons per
+    bucket done where the data already lives."""
+    if estimate_threshold is None:
+        banded = signatures.select(
+            "doc_id",
+            F.posexplode(_band_hashes(bands, rows_per_band)).alias("band", "bucket"),
+        )
+        return _bucket_pairs(banded, ["band", "bucket"], bucket_cap)
+
     banded = signatures.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b),
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        ),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        F.struct("doc_id", "sig").alias("ds"),
+        F.posexplode(_band_hashes(bands, rows_per_band)).alias("band", "bucket"),
     )
-    return _bucket_pairs(banded, ["band", "bucket"], bucket_cap)
+    # array_sort on struct<doc_id, sig> orders by doc_id (first field) —
+    # same canonical a < b pair orientation as _bucket_pairs
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("ds").alias("items"))
+        .filter((F.size("items") > 1) & (F.size("items") <= bucket_cap))
+        .select(F.array_sort("items").alias("items"))
+    )
+
+    def _est(x, y):
+        matches = F.aggregate(
+            F.zip_with(x["sig"], y["sig"], lambda u, v: (u == v).cast("int")),
+            F.lit(0),
+            lambda acc, z: acc + z,
+        )
+        return matches / F.greatest(F.size(x["sig"]), F.lit(1))
+
+    pairs_arr = F.flatten(
+        F.transform(
+            "items",
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(F.col("items"), i + 2, F.size("items")),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("a"),
+                        y["doc_id"].alias("b"),
+                        _est(x, y).alias("est"),
+                    ),
+                ),
+                lambda p: p["est"]
+                >= F.lit(estimate_threshold)
+                - F.lit(2.0)
+                / F.sqrt(F.greatest(F.size(x["sig"]), F.lit(1)).cast("double")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs_arr).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
 
 
 def jaccard_verify(
@@ -186,8 +256,19 @@ def jaccard_verify(
     threshold: float = 0.8,
 ) -> DataFrame:
     """True n-gram Jaccard on candidate pairs (the verify stage after
-    LSH): array_intersect/array_union — native, codegen'd."""
-    sh = docs.select(
+    LSH): array_intersect/array_union — native, codegen'd.
+
+    Shingles are built ONLY for docs that appear in a candidate pair
+    (semi-join on the pair ids first): the candidate set is orders of
+    magnitude smaller than the corpus, so re-shingling every document
+    for the verify — as the previous plan did — paid the interpreted
+    shingle HOF over the whole corpus a second time for nothing."""
+    ids = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .union(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    sh = docs.join(ids, "doc_id", "left_semi").select(
         F.col("doc_id"), _shingles(F.col(text_col), shingle_n).alias("sh")
     )
     a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
@@ -262,15 +343,16 @@ def near_duplicate_clusters(
 
     CC runs on the native (long) doc ids — cheaper shuffles and
     comparisons than strings; labels are cast back at the surface."""
-    # signatures are read three times (banding + both sides of the
-    # estimate filter) and sit behind no exchange Catalyst could reuse —
-    # one eager checkpoint materializes them once and flattens the DAG
-    # (sf0.1: composed op ~17s -> ~13s; the win grows with corpus size)
-    sigs = minhash_signatures(docs, text_col, num_hashes, shingle_n).localCheckpoint(
-        eager=True
+    # Fused plan: signatures are computed ONCE and consumed by exactly
+    # one operator (the banding shuffle carries the structs; the
+    # estimate filter runs inside the bucket rows), so there is no
+    # multi-reader DAG to checkpoint and no signature joins — r2's plan
+    # (checkpoint + pairs ⋈ sigs ⋈ sigs) paid two extra shuffles of
+    # every candidate pair plus an eager materialization job.
+    sigs = minhash_signatures(docs, text_col, num_hashes, shingle_n)
+    near = minhash_lsh_pairs(
+        sigs, bands, num_hashes // bands, estimate_threshold=threshold
     )
-    pairs = minhash_lsh_pairs(sigs, bands, num_hashes // bands)
-    near = signature_estimate_filter(pairs, sigs, threshold)
     verified = jaccard_verify(docs, near, text_col, shingle_n, threshold)
     edges = verified.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     labels = connected_components(edges)

@@ -44,6 +44,18 @@ def with_language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_decade(docs: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """F11 — year/decade extraction from a timestamp column
+    (/root/reference/utils/preprocess_data.py:302-303: the reference
+    derives ``year`` and ``decade = int(year/10)*10`` per article for
+    its per-decade experiment splits). Pure codegen projection —
+    fuses into the scan."""
+    year = F.year(F.col(ts_col))
+    return docs.withColumn("year", year).withColumn(
+        "decade", year - F.pmod(year, F.lit(10))
+    )
+
+
 def with_quality_score(
     docs: DataFrame, text_col: str = "text", round_dp: int | None = 6
 ) -> DataFrame:

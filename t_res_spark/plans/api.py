@@ -92,6 +92,28 @@ def run_text(
         cross_map.setdefault(r["mention"], {})[r["qid"]] = round(
             float(r["norm_score"]), 3
         )
+    # prior_cand_score: the normalized p_e_m prior per candidate, sorted
+    # score-desc — the reference's REL path fills this from its
+    # get_candidates priors (pipeline.py:288-324, rel_utils.py:180-231;
+    # its mostpopular path leaves it empty, pipeline.py:346 — we emit
+    # the real map on every path, same normalization as the contextual
+    # disambiguator's prior (operators/context.py priored aggregation))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("mention")
+    prior_rows = (
+        candidates.groupBy("mention", "qid")
+        .agg(F.max("abs_relv").alias("m"))
+        .withColumn("p", F.col("m") / F.sum("m").over(w))
+        .collect()
+    )
+    prior_map: dict[str, dict] = {}
+    for r in prior_rows:
+        prior_map.setdefault(r["mention"], {})[r["qid"]] = round(float(r["p"]), 3)
+    prior_map = {
+        m: dict(sorted(d.items(), key=lambda kv: (-kv[1], kv[0])))
+        for m, d in prior_map.items()
+    }
 
     sent_text = {i: s for i, s, _ in sentences}
     out = []
@@ -109,7 +131,7 @@ def run_text(
             "prediction": r["prediction"],
             "ed_score": round(float(r["link_score"]), 3),
             "string_match_score": match_map.get(r["mention"], {}),
-            "prior_cand_score": {},
+            "prior_cand_score": prior_map.get(r["mention"], {}),
             "cross_cand_score": cross_map.get(r["mention"], {}),
         }
         if entities is not None:

@@ -51,5 +51,14 @@ def test_run_text_reference_shape(spark):
     assert chip["cross_cand_score"]["Q775299"] == 0.875
     assert chip["latlon"] == [51.4585, -2.1158]
     assert chip["wkdt_class"] == "Q3957"
+    # prior_cand_score: non-empty normalized p_e_m prior map per
+    # mention, sorted score-desc, summing to 1 (VERDICT r02 #6;
+    # reference REL-path contract, pipeline.py:288-324)
+    pri = chip["prior_cand_score"]
+    assert set(pri) == {"Q775299", "Q3138621"}
+    assert pri["Q775299"] == 0.875 and pri["Q3138621"] == 0.125
+    assert abs(sum(pri.values()) - 1.0) < 1e-9
+    assert list(pri) == ["Q775299", "Q3138621"]  # score-desc order
     bath = out[1]
     assert bath["sent_idx"] == 1 and bath["prediction"] == "Q22889"
+    assert bath["prior_cand_score"] == {"Q22889": 1.0}
