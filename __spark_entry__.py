@@ -923,12 +923,19 @@ def q_f5b_bydistance_op(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ml2_bio_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ML2 — BIO repair chain + mention aggregation
+    """ML2 — BIO repair chain + mention aggregation, ORACLE-GATED
     (recogniser.py:388-396 chain, ner.py:70-307). The chain is
     sequential with self-dependencies (each fix reads the PREVIOUS
-    token's repaired tag), so it is not window-expressible → rows-only;
-    rule goldens live in tests/test_bio.py. Tokens are built so every
-    repair rule fires: hyphen runs, 'of' nesting, orphaned I- starts."""
+    token's repaired tag) so it is not SQL-expressible — but the
+    FIXTURE is three fixed tag patterns over a fixed 3-token sentence,
+    so the repaired/aggregated output per pattern is fully determined
+    and the oracle constructs it directly (the s8 strategy):
+      B,B,B  --fix_nested--> B,B,I  -> mentions 'Port' + 'of Spain'
+      B,I,B  --fix_nested--> B,I,I  -> mention  'Port of Spain'
+      I,O,I  --fix_start -->  B,O,B -> mentions 'Port' + 'Spain'
+    Rule goldens stay in tests/test_bio.py. Scores step by 1/64 (exact
+    dyadic, never an exact half at 3 dp — Python banker's rounding and
+    DuckDB round agree on every value)."""
     from t_res_spark.operators.bio import repair_and_aggregate
 
     _register(spark, sf_dir)
@@ -943,7 +950,7 @@ def q_ml2_bio_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE t.i WHEN 0 THEN 'Port' WHEN 1 THEN 'of' ELSE 'Spain' END AS word,
                CASE t.i WHEN 0 THEN 0 WHEN 1 THEN 5 ELSE 8 END AS `start`,
                CASE t.i WHEN 0 THEN 4 WHEN 1 THEN 7 ELSE 13 END AS `end`,
-               CAST(0.75 + (o_orderkey % 4) / 16 AS DOUBLE) AS score
+               CAST(0.75 + (o_orderkey % 4) / 64 AS DOUBLE) AS score
         FROM orders
         LATERAL VIEW explode(array(0, 1, 2)) t AS i
         WHERE o_orderkey % 37 = 0
@@ -1024,8 +1031,11 @@ def q_s9_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_s9_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9b — full HIPE-2022 parse: declarative doc-id propagation +
     per-doc applyInPandas offset reconstruction
-    (preprocess_data.py:464-707). Sequential reconstruction →
-    rows-only (the declarative half is oracle-gated as s9_tokens)."""
+    (preprocess_data.py:464-707), ORACLE-GATED: the sequential
+    reconstruction is not SQL-expressible, but the fixture documents
+    are one-sentence two-token patterns, so the expected sentence +
+    annotation rows (offsets included) are fully determined and the
+    oracle constructs them directly (the s8 strategy)."""
     from t_res_spark.sources.annotations import parse_hipe
 
     _register(spark, sf_dir)
@@ -1061,11 +1071,15 @@ def q_s15_title_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_e2e_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §3.3 — the batch experiment driver analog end-to-end:
-    stringified-TSV rows → from_json parse → deterministic NER → gold
-    span alignment → blocked ranking → linking → gold-joined results.
-    Extraction is an Arrow UDF → rows-only; the micro-metrics math is
-    oracle-covered separately by a7_pairwise_f1."""
+    """SURVEY §3.3 — the batch experiment driver analog end-to-end,
+    ORACLE-GATED: stringified-TSV rows → from_json parse →
+    deterministic NER → gold span alignment → blocked ranking →
+    linking → gold-joined results. Mentions are planted at fixed
+    offsets in fully-determined sentences, so the oracle constructs
+    the expected end-to-end output directly (the s8_webanno strategy —
+    the whole parse→extract→align→rank→link chain is what's under
+    test); DuckDB lacks initcap, so the oracle title-cases with a
+    list_transform."""
     from t_res_spark.jobs.experiment_job import run_experiment
 
     _register(spark, sf_dir)
@@ -1184,14 +1198,25 @@ def q_ctx0_prior_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5 — embedding-cosine near-duplicate clusters (SRP-LSH propose,
-    exact cosine verify, CC close). Seeded hyperplanes → rows-only."""
+    exact cosine verify, CC close), ORACLE-GATED: near-dups are planted
+    as 1.5×-scaled copies of every 7th vector (cosine ≈ 1; the scaling
+    preserves every projection SIGN, so the copies collide with their
+    originals in every SRP table — recall is structural, not
+    seed-lucky), and the oracle recomputes clusters from brute-force
+    all-pairs cosine ≥ 0.95 + recursive-CTE closure. Checks both
+    directions: no missed planted pair, no spurious merge among the
+    ~125k non-planted pairs."""
     from t_res_spark.operators.dedup import embedding_near_duplicates
 
     _register(spark, sf_dir)
     emb = spark.table("embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    return embedding_near_duplicates(emb, threshold=0.95)
+    planted = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (-F.col("vec_id") - 1).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    return embedding_near_duplicates(emb.unionByName(planted), threshold=0.95)
 
 
 def q_mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1720,6 +1745,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.page_title, m.qid
             FROM titles t LEFT JOIN mapping m ON t.k = m.k
         """,
+        "s9_mentions": """
+            -- expected parse output built directly: one sentence
+            -- (mention token + 'endtoken') and one annotation per doc,
+            -- sentence-relative offsets
+            SELECT 'doc' || CAST(c_custkey AS STRING) AS article_id,
+                   0 AS sent_pos, 'sentence' AS kind,
+                   lower(n_name) || ' endtoken' AS text,
+                   CAST(NULL AS STRING) AS mention,
+                   CAST(NULL AS STRING) AS entity_type,
+                   CAST(NULL AS STRING) AS wkdt_qid,
+                   CAST(NULL AS INT) AS mention_start,
+                   CAST(NULL AS INT) AS mention_end
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_custkey % 13 = 0
+            UNION ALL
+            SELECT 'doc' || CAST(c_custkey AS STRING), 0, 'annotation',
+                   CAST(NULL AS STRING), lower(n_name), 'loc',
+                   'Q' || CAST(c_nationkey AS STRING),
+                   0, CAST(length(n_name) AS INT)
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_custkey % 13 = 0
+        """,
         "s9_tokens": """
             -- expected declarative token table constructed directly
             -- (the Spark side window-propagates doc ids + tab-splits)
@@ -1777,6 +1824,79 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    sha256(text) AS digest
             FROM documents
+        """,
+        "ml2_bio_repair": """
+            -- expected repaired mentions constructed directly per tag
+            -- pattern (see q_ml2_bio_repair docstring for the trace)
+            WITH sel AS (
+              SELECT CAST(o_orderkey AS STRING) AS conv_id,
+                     CAST(o_custkey % 3 AS INT) AS pat,
+                     round(0.75 + (o_orderkey % 4) / 64.0, 3) AS s
+              FROM orders WHERE o_orderkey % 37 = 0
+            )
+            SELECT conv_id, 0 AS turn_idx, 'Port' AS mention,
+                   0 AS start_char, 4 AS end_char, s AS ner_score,
+                   'LOC' AS tag
+            FROM sel WHERE pat IN (0, 2)
+            UNION ALL
+            SELECT conv_id, 0, 'of Spain', 5, 13, s, 'LOC'
+            FROM sel WHERE pat = 0
+            UNION ALL
+            SELECT conv_id, 0, 'Port of Spain', 0, 13, s, 'LOC'
+            FROM sel WHERE pat = 1
+            UNION ALL
+            SELECT conv_id, 0, 'Spain', 8, 13, s, 'LOC'
+            FROM sel WHERE pat = 2
+        """,
+        "d5_embedding_neardup": """
+            -- brute-force ground truth for the SRP-LSH path: all-pairs
+            -- exact cosine >= 0.95 over originals + planted 1.5x copies,
+            -- recursive-CTE closure, min-id labels, singletons self
+            WITH RECURSIVE e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              UNION ALL
+              SELECT -vec_id - 1,
+                     list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
+              FROM embeddings WHERE vec_id % 7 = 0
+            ), edges AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE list_dot_product(a.v, b.v)
+                      / greatest(sqrt(list_dot_product(a.v, a.v))
+                                 * sqrt(list_dot_product(b.v, b.v)), 1e-12)
+                    >= 0.95
+            ), sym AS (
+              SELECT a AS s, b AS d FROM edges
+              UNION ALL
+              SELECT b, a FROM edges
+            ), reach AS (
+              SELECT s, d FROM sym
+              UNION
+              SELECT r.s, e2.d FROM reach r JOIN sym e2 ON r.d = e2.s
+            ), labels AS (
+              SELECT s AS vec_id, least(s, min(d)) AS lbl
+              FROM reach GROUP BY s
+            )
+            SELECT CAST(e.vec_id AS STRING) AS doc_id,
+                   CAST(COALESCE(l.lbl, e.vec_id) AS STRING) AS dup_cluster
+            FROM e LEFT JOIN labels l ON e.vec_id = l.vec_id
+        """,
+        "e2e_experiment": """
+            -- expected end-to-end rows built directly: each planted
+            -- article yields exactly one mention at offset 11, exact
+            -- alias match, most-popular single-candidate prediction,
+            -- gold aligned by identical span
+            SELECT CAST(c_custkey AS STRING) AS conv_id,
+                   1 AS turn_idx,
+                   array_to_string(
+                     list_transform(
+                       string_split(lower(n_name), ' '),
+                       w -> upper(substr(w, 1, 1)) || substr(w, 2)
+                     ), ' ') AS mention,
+                   'Q' || CAST(c_nationkey AS STRING) AS prediction,
+                   'Q' || CAST(c_nationkey AS STRING) AS gold_qid
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_custkey % 7 = 0
         """,
         "ctx0_prior_argmax": f"""
             -- n_loops=0 coherence == argmax(normalized prior), pinned
