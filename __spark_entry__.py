@@ -845,7 +845,15 @@ def q_d2_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure via recursive CTE. They agree exactly iff the
     LSH stage has perfect recall on true pairs and the verify stage
     kills every false candidate — which is precisely the correctness
-    claim of the operator (verified: label-exact at sf0.001/sf0.01)."""
+    claim of the operator (verified: label-exact at sf0.001/sf0.01).
+    Scale-conditionality, stated plainly: the equality is with respect
+    to THIS corpus at the gate's scale factor — LSH recall for an
+    organic pair with true Jaccard barely above threshold is
+    probabilistic (miss prob (1-J^4)^16), and buckets above the cap
+    (exact-dup families > 50 docs) are intentionally skipped, so the
+    oracle is a per-corpus verification, not a theorem; the testdata's
+    duplicate families are near-exact (J ≥ ~0.9, miss prob ~4e-8) and
+    far below the cap at every driver scale factor."""
     from t_res_spark.operators.dedup import near_duplicate_clusters
 
     _register(spark, sf_dir)

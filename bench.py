@@ -209,7 +209,15 @@ def bench_family_scaling(spark: SparkSession, sf_dir: str) -> dict:
                 fn(k).count()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
+                # same cleanup discipline as the main query loop:
+                # clearCache alone does not release localCheckpoint
+                # RDD blocks/broadcasts, and the 4x legs always run
+                # after the 1x legs — without the gc the exponent
+                # would measure 1x debris, not growth
                 spark.catalog.clearCache()
+                import gc
+
+                gc.collect()
             times[k] = round(best, 3)
         out[name] = {
             "t_1x": times[1],

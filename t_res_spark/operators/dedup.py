@@ -286,15 +286,6 @@ def jaccard_verify(
     )
 
 
-def _estimate_margin(num_hashes: int) -> float:
-    """Margin for the signature-estimate pre-filter, derived from the
-    signature length: the matching-position estimator has std error
-    sqrt(J(1-J)/k) ≤ 1/(2*sqrt(k)), so 2/sqrt(k) is a ~4-sigma band —
-    borderline true pairs survive at any ``num_hashes`` (a fixed 0.1
-    calibrated for k=64 would silently drop true duplicates at k=16)."""
-    return 2.0 / max(num_hashes, 1) ** 0.5
-
-
 def signature_estimate_filter(
     pairs: DataFrame,
     signatures: DataFrame,
@@ -353,6 +344,11 @@ def near_duplicate_clusters(
     near = minhash_lsh_pairs(
         sigs, bands, num_hashes // bands, estimate_threshold=threshold
     )
+    # verify references the pair set THREE times (both semi-join sides
+    # + the pair join); a tiny eager checkpoint guarantees the
+    # signature+banding job runs exactly once rather than trusting
+    # exchange reuse across the three subplans
+    near = near.localCheckpoint(eager=True)
     verified = jaccard_verify(docs, near, text_col, shingle_n, threshold)
     edges = verified.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     labels = connected_components(edges)

@@ -26,16 +26,40 @@ from pyspark.sql import functions as F
 # and concatenation restores the text — the stated invariant — instead
 # of silently dropping leading sentence punctuation.
 _SENTENCE = re.compile(r"[^.!?]+[.!?]*\s*|[.!?]+\s*")
+_PUNCT_ONLY = re.compile(r"^[.!?\s]*$")
 
 
 def split_sentences(text: str) -> list[tuple[int, str, int]]:
     """(sent_idx, sentence, start_offset) — offset-preserving splitter
     (the reference uses an external sentence splitter,
-    pipeline.py:462; same contract: concatenation restores the text)."""
-    out = []
-    for i, m in enumerate(_SENTENCE.finditer(text)):
-        out.append((i, m.group(), m.start()))
-    return out
+    pipeline.py:462; same contract: concatenation restores the text).
+
+    Punctuation-only chunks (a mid-text '...' run) are merged into the
+    PRECEDING sentence — like a real sentence splitter, they never
+    become standalone turns that would shift ``sent_idx`` for the
+    sentences after them; a punctuation-only prefix attaches to the
+    following sentence instead."""
+    chunks: list[tuple[str, int]] = []
+    pending = ""  # punctuation-only prefix awaiting a real sentence
+    pending_start = 0
+    for m in _SENTENCE.finditer(text):
+        s = m.group()
+        if _PUNCT_ONLY.match(s):
+            if chunks:
+                prev_s, prev_off = chunks[-1]
+                chunks[-1] = (prev_s + s, prev_off)
+            else:
+                if not pending:
+                    pending_start = m.start()
+                pending += s
+        elif pending:
+            chunks.append((pending + s, pending_start))
+            pending = ""
+        else:
+            chunks.append((s, m.start()))
+    if pending:
+        chunks.append((pending, pending_start))
+    return [(i, s, off) for i, (s, off) in enumerate(chunks)]
 
 
 def run_text(
@@ -52,12 +76,7 @@ def run_text(
     prediction, ed_score, string_match_score, prior_cand_score,
     cross_cand_score, latlon, wkdt_class."""
     from ..operators.extraction import extract_mentions
-    from ..operators.linking import (
-        NIL,
-        candidate_score_map,
-        link_mentions,
-        most_popular,
-    )
+    from ..operators.linking import NIL, link_mentions, most_popular
     from ..operators.ranking import find_candidates
 
     sentences = split_sentences(text)
@@ -85,31 +104,43 @@ def run_text(
             round(float(r["score"]), 3),
             list(r["qids"]),
         )
-    # cross_cand_score analog: normalized candidate map (linking.py:259-262)
-    cross = candidate_score_map(candidates).collect()
-    cross_map: dict[str, dict] = {}
-    for r in cross:
-        cross_map.setdefault(r["mention"], {})[r["qid"]] = round(
-            float(r["norm_score"]), 3
-        )
-    # prior_cand_score: the normalized p_e_m prior per candidate, sorted
-    # score-desc — the reference's REL path fills this from its
-    # get_candidates priors (pipeline.py:288-324, rel_utils.py:180-231;
-    # its mostpopular path leaves it empty, pipeline.py:346 — we emit
-    # the real map on every path, same normalization as the contextual
-    # disambiguator's prior (operators/context.py priored aggregation))
+    # cross_cand_score (normalized candidate map, linking.py:259-262)
+    # and prior_cand_score (normalized p_e_m prior — the reference's
+    # REL path fills it from its get_candidates priors,
+    # pipeline.py:288-324 / rel_utils.py:180-231; its mostpopular path
+    # leaves it empty, pipeline.py:346 — we emit the real map on every
+    # path, same normalization as operators/context.py's priored
+    # aggregation) in ONE aggregation job + collect: the two maps
+    # differ only in denominator (sum of all pair scores vs sum of
+    # per-QID maxima), both computable from the same grouped frame.
     from pyspark.sql import Window
 
     w = Window.partitionBy("mention")
-    prior_rows = (
-        candidates.groupBy("mention", "qid")
-        .agg(F.max("abs_relv").alias("m"))
-        .withColumn("p", F.col("m") / F.sum("m").over(w))
+    both = (
+        candidates.withColumn("total_all", F.sum("abs_relv").over(w))
+        .groupBy("mention", "qid")
+        .agg(
+            F.max("abs_relv").alias("best"),
+            F.first("total_all").alias("total_all"),
+        )
+        .withColumn("total_max", F.sum("best").over(w))
+        .select(
+            "mention",
+            "qid",
+            (F.col("best") / F.col("total_all")).alias("norm_score"),
+            (F.col("best") / F.col("total_max")).alias("prior"),
+        )
         .collect()
     )
+    cross_map: dict[str, dict] = {}
     prior_map: dict[str, dict] = {}
-    for r in prior_rows:
-        prior_map.setdefault(r["mention"], {})[r["qid"]] = round(float(r["p"]), 3)
+    for r in both:
+        cross_map.setdefault(r["mention"], {})[r["qid"]] = round(
+            float(r["norm_score"]), 3
+        )
+        prior_map.setdefault(r["mention"], {})[r["qid"]] = round(
+            float(r["prior"]), 3
+        )
     prior_map = {
         m: dict(sorted(d.items(), key=lambda kv: (-kv[1], kv[0])))
         for m, d in prior_map.items()

@@ -256,10 +256,14 @@ def parse_hipe(lines: DataFrame) -> DataFrame:
             for line in grp["line"]:
                 # HIPE-2022 TSVs are TAB-separated with possibly-empty
                 # columns and tokens that may contain spaces — a
-                # whitespace split() would collapse/mis-column those
-                # rows (preprocess_data.py:464-707 splits on '\t' too).
-                # Legacy space-separated fixtures (no tab present) still
-                # parse via the fallback.
+                # whitespace split() collapses/mis-columns those rows.
+                # DELIBERATE divergence from the reference, which
+                # whitespace-splits its HIPE lines
+                # (preprocess_data.py:549 `line.strip().split()`) and
+                # therefore silently drops such rows; this parser
+                # follows the format spec instead and surfaces drops as
+                # diagnostics. Legacy space-separated fixtures (no tab
+                # present) still parse via the fallback.
                 raw = line.rstrip("\n")
                 cols = raw.split("\t") if "\t" in raw else raw.strip().split()
                 if len(cols) != 10:

@@ -11,7 +11,16 @@ def test_split_sentences_preserves_text():
         assert text[off : off + len(s)] == s
     # leading punctuation runs must not be dropped (ADVICE r02)
     for tricky in ("...Ellipsis first. Then London.", "?! What. ", "..."):
-        assert "".join(s for _, s, _ in split_sentences(tricky)) == tricky
+        parts = split_sentences(tricky)
+        assert "".join(s for _, s, _ in parts) == tricky
+        for i, s, off in parts:
+            assert tricky[off : off + len(s)] == s
+    # mid-text ellipses merge into the PRECEDING sentence — no
+    # standalone punctuation turns shifting sent_idx
+    mid = "Hi. ...and then Paris?"
+    parts = split_sentences(mid)
+    assert [s for _, s, _ in parts] == ["Hi. ...", "and then Paris?"]
+    assert "".join(s for _, s, _ in parts) == mid
 
 
 def test_run_text_reference_shape(spark):

@@ -70,6 +70,18 @@ def test_by_distance_flip(spark, cands):
     assert far["London"] == "Q92561"  # flip, linking.py golden :74-83
 
 
+def test_candidate_score_map(cands):
+    """linking.py:259-262 analog: norm = max pair score per (mention,
+    qid) over the sum of ALL pair scores (a qid reachable via two
+    variations counts twice in the denominator, exactly like the
+    reference's total_score accumulation)."""
+    got = {(r["mention"], r["qid"]): r["norm_score"]
+           for r in linking.candidate_score_map(cands).collect()}
+    total = 43000000.0 + 453000.0
+    assert abs(got[("London", "Q84")] - 43000000.0 / total) < 1e-12
+    assert abs(got[("London", "Q92561")] - 453000.0 / total) < 1e-12
+
+
 def test_linking_no_forced_broadcast(spark, cands):
     """Scale guard (mirror of tests/test_ranking.py's ranking-side plan
     test): neither by_distance nor link_mentions may FORCE a broadcast
