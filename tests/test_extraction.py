@@ -121,3 +121,81 @@ def test_prefilter_is_semantically_neutral(spark):
         for m, _s, _e in extract_mentions_from_text(t)
     }
     assert got == expected
+
+
+class TestFastPathParity:
+    """extract_mentions_fast must be BIT-IDENTICAL to the reference
+    kernel — same mentions, same offsets — on every input. The fast
+    path is what runs inside the Spark UDF; the kernel is the oracle."""
+
+    CASES = [
+        "We visited Port of Spain today and then Ashton-under-Lyne quickly.",
+        "London The Hague",          # stop-cap breaks the span
+        "London the Hague",          # lowercase connector bridges it
+        "London Of Paris",           # capitalized Of is stop, not connector
+        "Isle of the Sea",           # double connector does not bridge
+        "Plymouth—Kingston sailed",  # n-dash comma fix splits tokens
+        "London, Ontario is not London Ontario",
+        "«London» and (Paris) and 'Brest'",
+        "Lon»don is broken but Berlin works",
+        "xLondon LOndon O'Brien London-on-Sea London- -Paris",
+        "a.. ..b Nice... ...Nice",
+        "We of London",              # leading stop + connector orphan
+        "London of' Paris London 'of Paris London of· Paris",
+        "_London __Berlin_ 7-London x-London",
+        "Ab Cd of Ef the Gh upon Ij",
+        " • - ST G pOllO-P• FERRIS …",
+        "London\tof\nParis",         # any whitespace joins
+        "London  of   Paris",        # multi-space gaps
+        "So Paris then",             # 'So' stop-capitalized
+        "",
+        "x",
+        "—Leading ndash City",
+    ]
+
+    def test_adversarial_goldens(self):
+        from t_res_spark.operators.extraction import (
+            extract_mentions_fast,
+            extract_mentions_from_text,
+        )
+
+        for t in self.CASES:
+            assert extract_mentions_fast(t) == extract_mentions_from_text(t), t
+
+    def test_property_random_texts(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from t_res_spark.operators.extraction import (
+            extract_mentions_fast,
+            extract_mentions_from_text,
+        )
+
+        word = st.text(
+            alphabet="abcdefgALONToOf'’-_»«(),.—·7 \t\n",
+            min_size=0,
+            max_size=8,
+        )
+        texts = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+        @settings(max_examples=400, deadline=None)
+        @given(texts)
+        def check(t):
+            assert extract_mentions_fast(t) == extract_mentions_from_text(t), repr(t)
+
+        check()
+
+    def test_connector_and_stopcap_vocab_sweep(self):
+        """Every connector and a sample of stop-caps, in bridge
+        position, against the kernel."""
+        from t_res_spark.operators.extraction import (
+            _CONNECTORS,
+            _STOP_CAPS,
+            extract_mentions_fast,
+            extract_mentions_from_text,
+        )
+
+        mids = sorted(_CONNECTORS) + sorted(_STOP_CAPS)[:15] + ["xx", "-", ","]
+        for mid in mids:
+            t = f"London {mid} Paris"
+            assert extract_mentions_fast(t) == extract_mentions_from_text(t), t
