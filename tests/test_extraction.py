@@ -151,6 +151,16 @@ class TestFastPathParity:
         "",
         "x",
         "—Leading ndash City",
+        # unicode: non-ASCII capitals/letters behave identically in
+        # both paths ([A-Z][a-z] start is ASCII; \\w continuation is not)
+        "Visiting Zürich and München today",
+        "Ávila is old",
+        "Los Ángeles-style Füßgänger toward Kyōto",
+        "João went to São Paulo",
+        "L'Aquila O’Connor D’Arcy",
+        "Ciudad de México",
+        "北京 and Tōkyō and Москва",
+        "İstanbul ıı",
     ]
 
     def test_adversarial_goldens(self):
