@@ -755,7 +755,16 @@ def q_s6_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) derived
     deterministically from documents ⋈ nation (input_hint shape; plants
-    one proper-noun mention per turn)."""
+    one proper-noun mention per turn).
+
+    The filler document text is LOWERCASED so the planted capitalized
+    nation surface is the only extractable mention per turn — this
+    makes the full er_pipeline output SQL-derivable (the ml2/s8
+    constructed-expectation strategy, VERDICT r03 item #2): the oracle
+    can state mention/start/prediction/cluster in closed form. The
+    bench corpus (bench.derived_transcripts_amplified) deliberately
+    keeps mixed-case filler so throughput numbers still measure
+    extraction over realistic mention-bearing text."""
     _register(spark, sf_dir)
     return spark.sql(
         """
@@ -763,9 +772,9 @@ def _derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(d.doc_id % 8 AS INT) AS turn_idx,
                CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'user'
                     WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
-               substr(d.text, 1, 40) || ' '
+               lower(substr(d.text, 1, 40)) || ' '
                  || upper(substr(lower(n.n_name), 1, 1)) || substr(lower(n.n_name), 2)
-                 || ' ' || substr(d.text, 41) AS text,
+                 || ' ' || lower(substr(d.text, 41)) AS text,
                CASE WHEN d.doc_id % 3 = 2 THEN 'search' ELSE NULL END AS tool,
                timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, d.doc_id) AS ts
         FROM documents d JOIN nation n ON CAST(d.doc_id % 25 AS INT) = n.n_nationkey
@@ -802,10 +811,10 @@ def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     linking + transitive-clustering stages value-exact. Spark runs the
     real operators — most_popular → link_mentions → cluster_mentions
     with cross-entity ``extra_edges`` (so connected components actually
-    executes and its labels are checked, not just the groupBy-min
-    shortcut); the oracle recomputes the same clusters with a
-    recursive-CTE transitive closure over the entity-root graph.
-    Labels = min mention_id of the component (clustering.py:18-25
+    executes and its labels are checked, not just the trivial
+    projection shortcut); the oracle recomputes the same clusters with
+    a recursive-CTE transitive closure over the prediction graph.
+    Labels = min prediction (QID) of the component (clustering.py r4
     convention); NIL mentions are their own singletons. The fuzzy
     candidate path feeding this at scale is oracle-covered by j3/j3b;
     the reference's implicit clusters: /root/reference/geoparser/
@@ -823,9 +832,15 @@ def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full ER pipeline end-to-end (extract → block → score → link →
-    CC cluster) over derived transcripts. The extraction stage is an
-    Arrow UDF → rows-only; every downstream stage is oracle-covered
-    individually (ml1, j1/j3/j3b, a2, er_clusters)."""
+    cluster), ORACLE-GATED (VERDICT r03 item #2): the gate corpus
+    lowercases its filler text (see ``_derived_transcripts``), so the
+    Arrow-UDF extraction output — and therefore every downstream
+    stage — is fully determined: one mention per turn, surface =
+    capitalized nation name at start_char 41, exact-match candidate,
+    most-popular prediction Q(doc_id%25), prediction-space cluster
+    label. The oracle states that closed form directly (the ml2/s8
+    constructed-expectation strategy). Reference flow:
+    /root/reference/geoparser/pipeline.py:387-490."""
     from t_res_spark.plans.pipeline import PipelineConfig, resolve
 
     transcripts = _derived_transcripts(spark, sf_dir)
@@ -1932,9 +1947,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "er_clusters": f"""
             -- linking + transitive clustering, ground-truthed: a2-style
-            -- mostpopular predictions, entity roots = min mention_id
-            -- per prediction, extra merge edges mapped onto roots,
-            -- recursive-CTE closure, label = min root of the component
+            -- mostpopular predictions, then closure directly over the
+            -- PREDICTION graph (clustering.py r4 convention): edges
+            -- restricted to predictions present in the corpus,
+            -- recursive-CTE closure, label = min prediction (QID) of
+            -- the component; NIL mentions label themselves
             WITH RECURSIVE preds AS (
               SELECT mention, qid AS prediction FROM (
                 SELECT mention, qid,
@@ -1948,15 +1965,14 @@ def oracle_sql() -> dict[str, str]:
                      COALESCE(p.prediction, 'NIL') AS prediction
               FROM ({MENTIONS_SQL}) m
               LEFT JOIN preds p ON m.mention = p.mention
-            ), roots AS (
-              SELECT prediction, min(mention_id) AS root
-              FROM linked WHERE prediction != 'NIL'
-              GROUP BY prediction
+            ), present AS (
+              SELECT DISTINCT prediction FROM linked
+              WHERE prediction != 'NIL'
             ), ent_edges AS (
-              SELECT ra.root AS s, rb.root AS d
+              SELECT e.prediction_a AS s, e.prediction_b AS d
               FROM ({ER_EXTRA_EDGES_SQL}) e
-              JOIN roots ra ON e.prediction_a = ra.prediction
-              JOIN roots rb ON e.prediction_b = rb.prediction
+              JOIN present pa ON e.prediction_a = pa.prediction
+              JOIN present pb ON e.prediction_b = pb.prediction
             ), sym AS (
               SELECT s, d FROM ent_edges WHERE s != d
               UNION ALL
@@ -1966,16 +1982,33 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
             ), labels AS (
-              SELECT s AS root, least(s, min(d)) AS lbl
+              SELECT s AS node, least(s, min(d)) AS lbl
               FROM reach GROUP BY s
-            ), final_roots AS (
-              SELECT r.prediction, COALESCE(l.lbl, r.root) AS root
-              FROM roots r LEFT JOIN labels l ON r.root = l.root
             )
             SELECT lk.mention_id, lk.mention, lk.prediction,
-                   COALESCE(fr.root, lk.mention_id) AS cluster_id
+                   CASE WHEN lk.prediction = 'NIL'
+                        THEN CAST(lk.mention_id AS STRING)
+                        ELSE COALESCE(l.lbl, lk.prediction)
+                   END AS cluster_id
             FROM linked lk
-            LEFT JOIN final_roots fr ON lk.prediction = fr.prediction
+            LEFT JOIN labels l ON lk.prediction = l.node
+        """,
+        "er_pipeline": """
+            -- constructed expectation (ml2/s8 strategy): the gate
+            -- corpus lowercases all filler text, so the planted
+            -- capitalized nation surface at char 41 is the ONLY
+            -- extractable mention per turn; candidates are exact
+            -- matches, prediction = Q(doc_id % 25), and the r4
+            -- prediction-space cluster label equals the prediction
+            SELECT 'conv' || CAST(CAST(floor(d.doc_id / 8) AS BIGINT) AS VARCHAR)
+                     || ':' || CAST(CAST(d.doc_id % 8 AS INT) AS VARCHAR)
+                     || ':41' AS mention_id,
+                   upper(substr(lower(n.n_name), 1, 1))
+                     || substr(lower(n.n_name), 2) AS mention,
+                   'Q' || CAST(CAST(d.doc_id % 25 AS INT) AS VARCHAR) AS prediction,
+                   'Q' || CAST(CAST(d.doc_id % 25 AS INT) AS VARCHAR) AS cluster_id
+            FROM documents d
+            JOIN nation n ON CAST(d.doc_id % 25 AS INT) = n.n_nationkey
         """,
         "d2_minhash_clusters": """
             -- ground truth for the LSH pipeline: ALL-pairs exact

@@ -201,39 +201,55 @@ def cluster_mentions(
     Scale design: connected components never runs over mention
     instances (10^12 at target scale). Mentions sharing a prediction
     are one component by construction, so the CC input is the
-    **entity-level graph**: one representative (min mention_id) per
-    prediction, plus any ``extra_edges`` carrying cross-entity merge
-    evidence (prediction_a, prediction_b) — e.g. same-conversation
-    coreference or alias-equivalence rules. CC cost is O(|entities|),
-    label assignment is one equi-join back onto the mention instances.
+    **entity-level graph**: the prediction ids themselves, connected by
+    any ``extra_edges`` carrying cross-entity merge evidence
+    (prediction_a, prediction_b) — e.g. same-conversation coreference
+    or alias-equivalence rules. CC cost is O(|entities|).
 
-    cluster_id = min mention_id of the component (deterministic
-    canonical label, SURVEY §7.1 M4); NIL and unmatched mentions are
-    singleton clusters labelled by themselves."""
-    non_nil = linked.filter(F.col("prediction") != "NIL")
-    roots = non_nil.groupBy("prediction").agg(
-        F.min("mention_id").alias("root")
+    cluster_id = min prediction (QID, lexicographic) of the component —
+    a deterministic canonical label in *prediction space* (SURVEY §7.1
+    M4); NIL and unmatched mentions are singleton clusters labelled by
+    their own mention_id. Labelling in prediction space instead of the
+    earlier min-mention-id convention removes an instance-wide
+    aggregation AND the label join from the common (no-extra-edges)
+    path entirely: the label is a projection of columns the row already
+    carries, so resolving 10^12 mentions costs zero extra passes, and
+    the with-edges path joins only a tiny prediction→label map."""
+    # cluster_id is always a string: labels mix prediction ids with
+    # mention ids (NIL singletons), and callers may use numeric
+    # mention_id types (the HIPE/gate corpora do)
+    non_nil_label = F.when(
+        F.col("prediction") != "NIL", F.col("prediction")
+    ).otherwise(F.col("mention_id").cast("string"))
+    if extra_edges is None:
+        return linked.withColumn("cluster_id", non_nil_label)
+    # Cross-entity merge evidence: close over the prediction graph.
+    # Edge endpoints are restricted to predictions actually present
+    # (an absent middle node must not transitively bridge two present
+    # ones — same semantics as the pre-r4 representative-join impl).
+    present = (
+        linked.filter(F.col("prediction") != "NIL")
+        .select("prediction")
+        .distinct()
     )
-    if extra_edges is not None:
-        # map cross-entity evidence to representative ids and run the
-        # general CC over the (tiny) entity graph
-        ra = roots.select(
-            F.col("prediction").alias("prediction_a"), F.col("root").alias("src")
+    sym = (
+        extra_edges.select(
+            F.col("prediction_a").alias("src"), F.col("prediction_b").alias("dst")
         )
-        rb = roots.select(
-            F.col("prediction").alias("prediction_b"), F.col("root").alias("dst")
-        )
-        ent_edges = extra_edges.join(ra, "prediction_a").join(rb, "prediction_b")
-        labels = connected_components(ent_edges.select("src", "dst"))
-        roots = (
-            roots.join(
-                labels.withColumnRenamed("mention_id", "root"), "root", "left"
-            )
-            .withColumn("root", F.coalesce("cluster_id", "root"))
-            .select("prediction", "root")
-        )
+        .join(present.withColumnRenamed("prediction", "src"), "src", "semi")
+        .join(present.withColumnRenamed("prediction", "dst"), "dst", "semi")
+    )
+    labels = connected_components(sym.select("src", "dst")).select(
+        F.col("mention_id").alias("prediction"), F.col("cluster_id").alias("lbl")
+    )
+    mapped = present.join(labels, "prediction", "left").select(
+        "prediction", F.coalesce("lbl", "prediction").alias("lbl")
+    )
     return (
-        linked.join(roots, "prediction", "left")
-        .withColumn("cluster_id", F.coalesce(F.col("root"), F.col("mention_id")))
-        .drop("root")
+        linked.join(mapped, "prediction", "left")
+        .withColumn(
+            "cluster_id",
+            F.coalesce(F.col("lbl"), F.col("mention_id").cast("string")),
+        )
+        .drop("lbl")
     )

@@ -106,11 +106,11 @@ def resolve_oracle(
 
     mentions["prediction"] = mentions["mention"].map(predictions)
 
-    # stage 5 — transitive clustering (min mention_id per prediction)
-    non_nil = mentions[mentions["prediction"] != "NIL"]
-    roots = non_nil.groupby("prediction")["mention_id"].min().to_dict()
+    # stage 5 — clustering: prediction-space canonical labels
+    # (clustering.py convention — the prediction itself absent extra
+    # merge edges; NIL mentions label themselves)
     mentions["cluster_id"] = [
-        roots[p] if p != "NIL" else mid
+        p if p != "NIL" else mid
         for p, mid in zip(mentions["prediction"], mentions["mention_id"])
     ]
     return mentions

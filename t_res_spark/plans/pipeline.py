@@ -140,7 +140,17 @@ def resolve(
         "mentions", lambda: extraction.extract_mentions(transcripts), persist=True
     )
 
-    surfaces = extraction.distinct_mentions(mentions)
+    # Materialize the tiny distinct-surface table eagerly: the candidate
+    # stage references it three times (exact / missed anti-join / blocked
+    # pairs), and without a cut each reference embeds a full copy of the
+    # extract subtree — tripling Catalyst analysis/codegen work and
+    # forcing three extra passes over the cached mention instances
+    # (measured: ~3s of the fixed serial floor at 5M turns). The
+    # checkpoint job also populates the mentions persist cache, so the
+    # downstream link join reads the cache, not the UDF. |surfaces| is
+    # the distinct-surface domain — small by construction (ranking.py:674
+    # rationale) — so the checkpoint itself is a few KB per partition.
+    surfaces = extraction.distinct_mentions(mentions).localCheckpoint(eager=True)
 
     candidates = _stage(
         "candidates",

@@ -48,9 +48,10 @@ def test_cluster_mentions_nil_singletons(spark):
     )
     out = {r["mention_id"]: r["cluster_id"] for r in
            clustering.cluster_mentions(linked).collect()}
-    assert out["c:0:0"] == out["c:1:0"] == "c:0:0"
-    assert out["c:2:0"] == "c:2:0"  # NIL singleton
-    assert out["c:3:0"] == "c:3:0"  # lone entity mention
+    # prediction-space labels: same entity -> same label (the QID)
+    assert out["c:0:0"] == out["c:1:0"] == "E1"
+    assert out["c:2:0"] == "c:2:0"  # NIL singleton labels itself
+    assert out["c:3:0"] == "E2"  # lone entity mention
 
 
 def test_prerank_truncation_bounds_candidates(spark):
