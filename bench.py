@@ -190,13 +190,16 @@ def bench_family_scaling(spark: SparkSession, sf_dir: str) -> dict:
     def d3b(k):
         return simhash_near_pairs(simhash(_amplified_docs(spark, k)), max_hamming=3)
 
+    # dim probed once, outside every timed region (VERDICT r03 #9)
+    dim_row = spark.table("embeddings").select(F.size("embedding").alias("d")).first()
+    emb_dim = dim_row["d"] if dim_row else 0
+
     def ann(k):
         emb = _amplified_embeddings(spark, k)
-        first = emb.select(F.size("embedding").alias("d")).first()
         queries = emb.filter(F.col("vec_id") < 3).select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
         )
-        return lsh_topk(emb, queries, dim=first["d"] if first else 0, k=10)
+        return lsh_topk(emb, queries, dim=emb_dim, k=10)
 
     out: dict = {}
     for name, fn in (("d2_minhash_clusters", d2), ("d3b_simhash_pairs", d3b),

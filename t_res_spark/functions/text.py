@@ -101,12 +101,15 @@ def zfill_code(code: Column, width: int = 7) -> Column:
     NOT a bare ``lpad``: lpad TRUNCATES values longer than ``width`` to
     their first ``width`` chars, silently colliding distinct >7-digit
     codes; ``str.zfill`` never truncates, so over-width codes pass
-    through unchanged. Sign handling matches zfill too: zeros fill
-    AFTER the minus sign ('-12' → '-000012', not '0000-12')."""
+    through unchanged. Sign handling matches zfill for BOTH signs:
+    zeros fill AFTER the sign character ('-12' → '-000012',
+    '+12' → '+000012' — ADVICE r03; str(int) never emits '+', but
+    string-typed inputs may)."""
     s = code.cast("string")
+    sign = F.substring(s, 1, 1)
     padded = F.when(
-        s.startswith("-"),
-        F.concat(F.lit("-"), F.lpad(F.substring(s, 2, 2147483647), width - 1, "0")),
+        (sign == "-") | (sign == "+"),
+        F.concat(sign, F.lpad(F.substring(s, 2, 2147483647), width - 1, "0")),
     ).otherwise(F.lpad(s, width, "0"))
     return F.when(F.length(s) >= width, s).otherwise(padded)
 

@@ -193,7 +193,13 @@ def minhash_lsh_pairs(
     (pairs → join sigs → join sigs → filter) this removes two
     signature joins — i.e. two shuffles of every candidate pair —
     at the cost of cap-bounded O(k²·num_hashes) comparisons per
-    bucket done where the data already lives."""
+    bucket done where the data already lives.
+
+    Skew guard (ADVICE r03): bucket membership is pre-counted on an
+    ids-only pass and the heavy (doc_id, sig) structs are semi-joined
+    to under-cap buckets BEFORE the collect aggregation — an over-cap
+    bucket (a large exact-dup family) never materializes a signature
+    array in any agg buffer (~512 B/doc × family size otherwise)."""
     if estimate_threshold is None:
         banded = signatures.select(
             "doc_id",
@@ -201,16 +207,28 @@ def minhash_lsh_pairs(
         )
         return _bucket_pairs(banded, ["band", "bucket"], bucket_cap)
 
+    band_arr = _band_hashes(bands, rows_per_band)
+    # ids-only pre-count: recomputing the band hashes is cheap codegen;
+    # shuffling ids instead of (doc_id, sig) structs is 64x lighter
+    light = signatures.select("doc_id", F.posexplode(band_arr).alias("band", "bucket"))
+    ok_buckets = (
+        light.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") > 1) & (F.col("n") <= bucket_cap))
+        .select("band", "bucket")
+    )
     banded = signatures.select(
         F.struct("doc_id", "sig").alias("ds"),
-        F.posexplode(_band_hashes(bands, rows_per_band)).alias("band", "bucket"),
+        F.posexplode(band_arr).alias("band", "bucket"),
     )
     # array_sort on struct<doc_id, sig> orders by doc_id (first field) —
-    # same canonical a < b pair orientation as _bucket_pairs
+    # same canonical a < b pair orientation as _bucket_pairs; the semi
+    # join makes the post-agg cap filter redundant (counts come from
+    # the identical banding derivation)
     buckets = (
-        banded.groupBy("band", "bucket")
+        banded.join(ok_buckets, ["band", "bucket"], "semi")
+        .groupBy("band", "bucket")
         .agg(F.collect_list("ds").alias("items"))
-        .filter((F.size("items") > 1) & (F.size("items") <= bucket_cap))
         .select(F.array_sort("items").alias("items"))
     )
 
@@ -370,15 +388,21 @@ def embedding_near_duplicates(
     bits: int = 8,
     tables: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate clusters (task brief): SRP-LSH
     buckets propose candidate pairs, exact cosine verifies against the
     threshold, connected components closes them transitively. Returns
-    (doc_id, dup_cluster) over every input row."""
+    (doc_id, dup_cluster) over every input row.
+
+    ``dim``: embedding dimensionality. Callers that know it (fixed
+    encoder width, table contract) should pass it — when None a
+    one-row probe job runs as a fallback (VERDICT r03 #9)."""
     from .similarity_search import _hyperplanes, cosine, srp_bucket
 
-    dim_row = vectors.select(F.size(vec_col).alias("d")).first()
-    dim = dim_row["d"] if dim_row else 0
+    if dim is None:
+        dim_row = vectors.select(F.size(vec_col).alias("d")).first()
+        dim = dim_row["d"] if dim_row else 0
     planes = [_hyperplanes(dim, bits, seed + t) for t in range(tables)]
     bucketed = vectors.select(
         id_col,

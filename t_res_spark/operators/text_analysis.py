@@ -49,10 +49,12 @@ def with_decade(docs: DataFrame, ts_col: str = "ts") -> DataFrame:
     (/root/reference/utils/preprocess_data.py:302-303: the reference
     derives ``year`` and ``decade = int(year/10)*10`` per article for
     its per-decade experiment splits). Pure codegen projection —
-    fuses into the scan."""
+    fuses into the scan. ``%`` (dividend-signed mod, unlike pmod)
+    truncates toward zero exactly like the reference's int(year/10)*10,
+    so pre-epoch years agree too: year -5 → decade 0 (ADVICE r03)."""
     year = F.year(F.col(ts_col))
     return docs.withColumn("year", year).withColumn(
-        "decade", year - F.pmod(year, F.lit(10))
+        "decade", year - year % F.lit(10)
     )
 
 

@@ -24,9 +24,13 @@ from pyspark.sql import functions as F
 # Second alternative captures punctuation-only runs (a text starting
 # with '...' or '?!'), so every character lands in exactly one chunk
 # and concatenation restores the text — the stated invariant — instead
-# of silently dropping leading sentence punctuation.
-_SENTENCE = re.compile(r"[^.!?]+[.!?]*\s*|[.!?]+\s*")
-_PUNCT_ONLY = re.compile(r"^[.!?\s]*$")
+# of silently dropping leading sentence punctuation. Terminators cover
+# the common non-ASCII sentence punctuation too (CJK full stops,
+# fullwidth !/?, Arabic question mark, ellipsis — r4, widened in
+# lockstep with the unicode extraction classes).
+_TERM = ".!?。！？．؟…"
+_SENTENCE = re.compile(rf"[^{_TERM}]+[{_TERM}]*\s*|[{_TERM}]+\s*")
+_PUNCT_ONLY = re.compile(rf"^[{_TERM}\s]*$")
 
 
 def split_sentences(text: str) -> list[tuple[int, str, int]]:

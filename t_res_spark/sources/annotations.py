@@ -195,7 +195,10 @@ HIPE_OUT_SCHEMA = T.StructType(
     [
         T.StructField("article_id", T.StringType(), False),
         T.StructField("sent_pos", T.IntegerType(), False),
-        T.StructField("kind", T.StringType(), False),  # sentence|annotation
+        # sentence | annotation | malformed (diagnostic row: one per
+        # article with dropped lines; mention_start carries the count —
+        # consumers must filter kind before treating rows as data)
+        T.StructField("kind", T.StringType(), False),
         T.StructField("text", T.StringType(), True),  # sentence text
         T.StructField("mention", T.StringType(), True),
         T.StructField("entity_type", T.StringType(), True),
@@ -216,7 +219,14 @@ def parse_hipe(lines: DataFrame) -> DataFrame:
     later line inherits it via last-non-null over the line order.
     Sequential part (per document, applyInPandas): running char index →
     token offsets, sentence splits on the MISC ``EndOfSentence`` marker,
-    B-/I- runs → mention spans with reconstructed offsets."""
+    B-/I- runs → mention spans with reconstructed offsets.
+
+    Diagnostic-row contract (ADVICE r03): articles with malformed TSV
+    lines additionally emit ONE row with ``kind='malformed'``,
+    ``sent_pos=-1`` and the dropped-line count in ``mention_start``
+    (all other fields null). Consumers reading sentences or
+    annotations must filter on ``kind``; audit queries sum
+    ``mention_start`` over ``kind='malformed'``."""
     tagged = _hipe_with_article_id(lines)
     toklines = tagged.filter(
         F.col("article_id").isNotNull()

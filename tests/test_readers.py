@@ -89,8 +89,9 @@ def test_f9_f10_f13_normalizers(spark):
         zfill_code(F.col("c")).alias("z"),
         # zfill semantics: >width codes pass through UNTRUNCATED
         zfill_code(F.lit(123456789)).alias("z_long"),
-        # zfill semantics: zeros fill AFTER the minus sign
+        # zfill semantics: zeros fill AFTER the sign, either sign
         zfill_code(F.lit(-12)).alias("z_neg"),
+        zfill_code(F.lit("+12")).alias("z_plus"),
         # malformed percent-escape must pass through, not abort the job
         wikipedia_to_wikidata_key(F.lit("100%_wool")).alias("bad_pct"),
     ).collect()[0]
@@ -104,4 +105,5 @@ def test_f9_f10_f13_normalizers(spark):
     assert r["z"] == "0000007"
     assert r["z_long"] == "123456789"  # str.zfill never truncates
     assert r["z_neg"] == str(-12).zfill(7)  # '-000012'
+    assert r["z_plus"] == "+12".zfill(7)  # '+000012' (ADVICE r03)
     assert r["bad_pct"] == "100%_wool"

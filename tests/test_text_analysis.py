@@ -44,6 +44,28 @@ def test_token_counts(docs):
     )
 
 
+def test_decade_truncates_toward_zero(spark):
+    """F11 matches the reference's int(year/10)*10 for BC years too
+    (ADVICE r03): timestamps can't carry negative years, so the decade
+    expression (dividend-signed %) is checked directly on int years."""
+    df = spark.createDataFrame(
+        [(-5,), (-17,), (5,), (1843,)], "year int"
+    ).select(
+        "year", (F.col("year") - F.col("year") % F.lit(10)).alias("decade")
+    )
+    out = {r["year"]: r["decade"] for r in df.collect()}
+    assert out[-5] == 0  # int(-5/10)*10 = 0, NOT floor's -10
+    assert out[-17] == -10
+    assert out[5] == 0
+    assert out[1843] == 1840
+    # and the operator end-to-end on a real timestamp
+    ts = spark.createDataFrame(
+        [(1, "1843-07-01 00:00:00")], "event_id int, s string"
+    ).withColumn("ts", F.to_timestamp("s"))
+    r = ta.with_decade(ts).collect()[0]
+    assert (r["year"], r["decade"]) == (1843, 1840)
+
+
 def test_fingerprint_stability(spark, docs):
     a = {r["doc_id"]: r["fp_hash"] for r in ta.with_fingerprint(docs).collect()}
     whitespace_variant = spark.createDataFrame(
