@@ -19,6 +19,8 @@ analog) — kill it between stages and it picks up where it left off.
 
 from __future__ import annotations
 
+import shutil
+import tempfile
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -62,15 +64,24 @@ class PipelineResult:
     linked: DataFrame
     clusters: DataFrame
     metrics: DataFrame
+    # (path, remover) pairs for session-temp stage materializations
+    temp_paths: list = field(default_factory=list)
 
     def unpersist(self) -> None:
-        """Release the persisted shared stages (mentions/linked) —
-        call when done with the result in a long-lived session."""
+        """Release the persisted shared stages (mentions/linked) and
+        delete session-temp stage files — call when done with the
+        result in a long-lived session."""
         for df in (self.mentions, self.linked):
             try:
                 df.unpersist()
             except Exception:
                 pass
+        for path, remover in self.temp_paths:
+            try:
+                remover(path, ignore_errors=True)
+            except Exception:
+                pass
+        self.temp_paths = []
 
 
 def blocking_metrics(surfaces: DataFrame) -> DataFrame:
@@ -124,6 +135,7 @@ def resolve(
     """Run the full ER pipeline; every stage checkpointable/resumable."""
     cfg = config or PipelineConfig()
     cfg_d = cfg.as_dict()
+    _cleanup_paths: list = []
 
     def _stage(name: str, thunk, persist: bool = False):
         if catalog is None:
@@ -140,17 +152,31 @@ def resolve(
         "mentions", lambda: extraction.extract_mentions(transcripts), persist=True
     )
 
-    # Materialize the tiny distinct-surface table eagerly: the candidate
-    # stage references it three times (exact / missed anti-join / blocked
-    # pairs), and without a cut each reference embeds a full copy of the
-    # extract subtree — tripling Catalyst analysis/codegen work and
-    # forcing three extra passes over the cached mention instances
-    # (measured: ~3s of the fixed serial floor at 5M turns). The
-    # checkpoint job also populates the mentions persist cache, so the
-    # downstream link join reads the cache, not the UDF. |surfaces| is
-    # the distinct-surface domain — small by construction (ranking.py:674
-    # rationale) — so the checkpoint itself is a few KB per partition.
-    surfaces = extraction.distinct_mentions(mentions).localCheckpoint(eager=True)
+    # Materialize the tiny distinct-surface table eagerly TO PARQUET:
+    # the candidate stage references it three times (exact / missed
+    # anti-join / blocked pairs), and without a cut each reference
+    # embeds a full copy of the extract subtree — tripling Catalyst
+    # analysis/codegen work and forcing three extra passes over the
+    # cached mention instances (measured: ~3s of the fixed serial floor
+    # at 5M turns). Parquet rather than localCheckpoint on purpose: an
+    # RDD-scan has UNKNOWN size statistics (defaultSizeInBytes), which
+    # silently demotes every downstream join (predictions → link) from
+    # a static broadcast to SMJ — a parquet-backed stage exposes real
+    # file statistics, so Catalyst keeps broadcasting the per-surface
+    # side without any forced hint (measured: removes a full instance
+    # shuffle + a single-task join from the count path). The
+    # materialization job also populates the mentions persist cache.
+    # |surfaces| is the distinct-surface domain — small by construction
+    # (ranking.py:674 rationale).
+    def _materialize_small(df: DataFrame, name: str) -> DataFrame:
+        if catalog is not None:
+            return catalog.materialize(df, name, cfg_d)
+        tmp = tempfile.mkdtemp(prefix=f"tres_{name}_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _cleanup_paths.append((tmp, shutil.rmtree))
+        return spark.read.parquet(tmp)
+
+    surfaces = _materialize_small(extraction.distinct_mentions(mentions), "surfaces")
 
     candidates = _stage(
         "candidates",
@@ -173,7 +199,19 @@ def resolve(
             return linking.by_distance(candidates, entities, origins)
         raise ValueError(f"unknown linking method: {cfg.linking_method}")
 
-    predictions = _stage("predictions", _predict)
+    # Predictions (one row per distinct surface) is materialized like
+    # surfaces, and for the same reason: a join-chain's static size
+    # estimate is a product of its inputs, so the per-surface table can
+    # never LOOK small to Catalyst however small it is — backed by a
+    # real file it carries true statistics and the link join broadcasts
+    # statically (no hint), turning the label/count path into a single
+    # narrow pass over the cached mentions. This is also the natural
+    # resume surface: with a catalog it is exactly the predictions
+    # checkpoint table.
+    if catalog is None:
+        predictions = _materialize_small(_predict(), "predictions")
+    else:
+        predictions = _stage("predictions", _predict)
 
     # linked is NOT persisted: it re-derives from the cached mentions
     # with one cheap broadcast join per consuming branch, while caching
@@ -195,4 +233,5 @@ def resolve(
         linked=linked,
         clusters=clusters,
         metrics=metrics,
+        temp_paths=_cleanup_paths,
     )
