@@ -282,11 +282,16 @@ def main() -> None:
     if os.environ.get("TRES_BENCH_PIPELINE_ONLY"):
         bench_queries = []
     else:
+        # d2 first: it is the query with a stated wall-clock target
+        # (≤10 s, BENCH/BASELINE.md), and late-loop samples measure JVM
+        # heap debris from earlier queries as much as the plan (observed
+        # 8.7 s fresh vs 12.8 s late-session for the identical query —
+        # VERDICT r03 #6); the cheap broad-coverage queries follow.
         bench_queries = [
-        "j1_perfect_match", "j3_fuzzy_damlev", "j3b_blocked_fuzzy",
-        "a2_most_popular", "w1_top1_ties", "w2_top7", "m4_edges_star",
-        "d1_exact_dedup", "d2_minhash_clusters", "d3_simhash",
-        "d3b_simhash_pairs", "t2_quality", "t3_token_counts",
+        "d2_minhash_clusters", "d1_exact_dedup", "d3_simhash",
+        "d3b_simhash_pairs", "j1_perfect_match", "j3_fuzzy_damlev",
+        "j3b_blocked_fuzzy", "a2_most_popular", "w1_top1_ties", "w2_top7",
+        "m4_edges_star", "t2_quality", "t3_token_counts",
         "s6_embedding_topk", "ann_lsh_topk", "ann_ivf_topk",
         "mm_media_features", "m1_parse_ingest", "j7_align_gold",
         "er_clusters", "e2e_experiment",

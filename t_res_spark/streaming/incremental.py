@@ -16,7 +16,15 @@ cluster identity is keyed by prediction. The state table
 ``cluster_roots(prediction, cluster_id)`` pins the canonical root the
 first time an entity is seen; later batches reuse it — mentions of the
 same entity land in the same cluster across batches without
-re-clustering history (the streaming analog of the memo-cache J12)."""
+re-clustering history (the streaming analog of the memo-cache J12).
+
+Label-space note: the batch engine labels clusters in PREDICTION space
+since r4 (clustering.py — labels are self-stable, no state needed).
+This streaming surface keeps MENTION-space labels deliberately: it
+demonstrates the pinned-root state-table pattern (crash-safe swap,
+recovery) that prediction-space labels cannot exercise, and consumers
+get instance-level roots. The partition induced on mentions is
+identical either way; only the label representative differs."""
 
 from __future__ import annotations
 

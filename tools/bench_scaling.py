@@ -38,9 +38,17 @@ def run_once(cpus: int, sf_dir: str, factor: int) -> dict:
         TRES_SHUFFLE_PARTITIONS="64",
         TRES_DRIVER_MEM="16g",
     )
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if os.environ.get("TRES_TASKSET") == "1":
+        # Pin the whole process tree (JVM task threads, python workers,
+        # GC) to exactly `cpus` cores — the cgroup-limited-executor
+        # model. Without pinning, local-mode low-N legs silently borrow
+        # idle cores for their python workers and GC (measured: the
+        # "1-thread" leg consumes ~2 cores of CPU), overstating the
+        # N-leg and understating the ratio.
+        cmd = ["taskset", "-c", f"0-{cpus - 1}" if cpus > 1 else "0"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, cwd=REPO, timeout=3600,
+        cmd, env=env, capture_output=True, text=True, cwd=REPO, timeout=3600,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -64,13 +72,20 @@ def main() -> None:
     t8, t32 = r8["value"], r32["value"]
     eff = (t8 / t32) / 4
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    pinned = os.environ.get("TRES_TASKSET") == "1"
+    pin_note = (
+        "\nCPU affinity: each leg pinned (taskset) to exactly its core"
+        "\ncount — the cgroup-limited-executor model; unpinned local-mode"
+        "\nlow-N legs borrow idle cores for python workers/GC and"
+        "\noverstate the N-leg (see run_once)." if pinned else ""
+    )
     md = f"""# BENCH — throughput + scaling efficiency
 
 Same job (full ER pipeline: extract → block → score → link → CC-cluster),
 same input ({sf_dir}, {r8['turns']} turns derived at factor {factor}),
 two parallelism levels in fresh JVMs. Config: AQE on (coalesce + skew
 join), shuffle partitions fixed at 64 for both levels, salt_factor=8,
-Arrow batches 10k. Same logical plan; only executor-thread count varies.
+Arrow batches 10k. Same logical plan; only executor-thread count varies.{pin_note}
 
 | parallelism | wall (s) | turns/sec |
 |---|---|---|
