@@ -917,33 +917,63 @@ def q_d2_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_duplicate_clusters(spark.table("documents"), threshold=0.5)
 
 
+# --- fixed corpus for the SimHash golden oracles (r4): exact copies
+# (hamming 0, pigeonhole-guaranteed recall), a one-word edit (small
+# hamming), and unrelated texts. Expected fingerprints/pairs are
+# computed by tools/make_goldens_r4.py with a from-spec pure-python
+# XXH64 (functions/xxh64.py, verified bit-exact against Spark's
+# builtin) + exact mirrors of the vote/banding/hamming column math —
+# an INDEPENDENT recomputation, not an engine snapshot.
+_D3_BASE = (
+    "ships sail across the wide harbor at dawn carrying spices silk wool "
+    "amber and letters from distant ports toward the old market square "
+    "where traders gather before sunrise to weigh coins inspect cargo and "
+    "argue prices under faded awnings near the custom house steps"
+)
+D3_DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river "
+        "bank while birds sing softly in morning light"),
+    (1, _D3_BASE),
+    (2, "rain fell on the cobbled streets of the town as lanterns "
+        "flickered behind fogged windows late into the night"),
+    (3, "the engine roared over the plains pulling freight through "
+        "tunnels and over bridges toward the northern depot"),
+    (4, "a quiet garden grew behind the stone wall where bees moved "
+        "between rows of lavender mint and climbing roses"),
+    (10, "the quick brown fox jumps over the lazy dog near the river "
+         "bank while birds sing softly in morning light"),  # copy of 0
+    (11, _D3_BASE.replace("dawn", "dusk")),        # hamming 3 vs 1: at the verify edge
+    (12, "rain fell on the cobbled streets of the town as lanterns "
+         "flickered behind fogged windows late into the night"),  # copy of 2
+    (13, _D3_BASE + " gulls"),                      # hamming 1 vs 1
+    (14, _D3_BASE.replace("silk", "linen")),        # hamming 4 vs 1: bucket-proposed, verify-EXCLUDED
+]
+
+
 def q_d3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D3 — 64-bit SimHash fingerprints (xxhash64-based → rows-only)."""
+    """D3 — 64-bit SimHash fingerprints, ORACLE-GATED via golden VALUES
+    (r4): the real operator (xxhash64 token hashes → single-pass 64-bit
+    vote fold → sign-safe fingerprint assembly) over the fixed D3
+    corpus; expected fingerprints recomputed independently with a
+    from-spec python XXH64 + the same vote arithmetic."""
     from t_res_spark.operators.dedup import simhash
 
     _register(spark, sf_dir)
-    return simhash(spark.table("documents"))
+    docs = spark.createDataFrame(D3_DOCS, "doc_id long, text string")
+    return simhash(docs)
 
 
 def q_d3b_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3b — SimHash near-pair proposal (4 disjoint 16-bit bands +
-    bucket cap) with exact Hamming verify. Near-dup rows are planted by
-    unioning exact copies of every 5th document (hamming 0 — the
-    pigeonhole guarantee makes them unmissable). xxhash64-seeded →
-    rows-only."""
+    bucket cap) with exact Hamming verify, ORACLE-GATED via golden
+    VALUES (r4) over the fixed D3 corpus: exact copies land at hamming
+    0 (pigeonhole recall is provable for hamming < bands), the
+    one-word edit exercises the verify threshold, unrelated texts must
+    produce nothing."""
     from t_res_spark.operators.dedup import simhash, simhash_near_pairs
 
     _register(spark, sf_dir)
-    docs = spark.sql(
-        """
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        -- negative id space: planted copies can never collide with a
-        -- real doc_id at any scale factor
-        SELECT -doc_id - 1 AS doc_id, text FROM documents
-        WHERE doc_id % 5 = 0
-        """
-    )
+    docs = spark.createDataFrame(D3_DOCS, "doc_id long, text string")
     return simhash_near_pairs(simhash(docs), max_hamming=3)
 
 
@@ -2187,6 +2217,40 @@ def oracle_sql() -> dict[str, str]:
               ('cB', 'cB:0:0', 'madrid', 'Q2807', CAST('0.599' AS DOUBLE)),
               ('cB', 'cB:1:0', 'lisbon', 'Q597', CAST('0.599' AS DOUBLE))
             ) AS t(conv_id, mention_id, mention, prediction, link_score)
+        """,
+        "d3_simhash": """
+            -- golden VALUES (tools/make_goldens_r4.py): independent
+            -- recomputation with a from-spec python XXH64 + the exact
+            -- vote/fingerprint arithmetic over the fixed D3 corpus
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(simhash AS BIGINT) AS simhash FROM (
+            SELECT * FROM (VALUES
+              (0, 4518801340735652051),
+              (1, 2963762874044959150),
+              (2, -1008705296979338747),
+              (3, 4026695856805700506),
+              (4, -1521799210754787044),
+              (10, 4518801340735652051),
+              (11, -6259046204266460754),
+              (12, -1008705296979338747),
+              (13, 2963758475998448046),
+              (14, -6115498372780471894)
+            ) AS t(doc_id, simhash)
+            )
+        """,
+        "d3b_simhash_pairs": """
+            -- golden VALUES (tools/make_goldens_r4.py): banding +
+            -- hamming-verify mirror over the D3 corpus — exact copies
+            -- at 0, planted edits at 1 and 3, the hamming-4 edit
+            -- bucket-proposed but verify-excluded
+            SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, CAST(hamming AS INTEGER) AS hamming FROM (
+            SELECT * FROM (VALUES
+              (0, 10, 0),
+              (1, 11, 3),
+              (1, 13, 1),
+              (2, 12, 0),
+              (13, 14, 3)
+            ) AS t(a, b, hamming)
+            )
         """,
         "er_pipeline": """
             -- constructed expectation (ml2/s8 strategy): the gate

@@ -72,3 +72,27 @@ def test_lr_confidence_golden(spark):
     assert abs(got[0.5] - 0.5) < 1e-12
     assert abs(got[1.0] - 1 / (1 + math.exp(-3.0))) < 1e-12
     assert abs(got[0.0] - 1 / (1 + math.exp(3.0))) < 1e-12
+
+
+def test_xxh64_matches_spark(spark):
+    """The from-spec python XXH64 (functions/xxh64.py — used to author
+    the d3/d3b golden oracles) is bit-exact vs Spark's builtin
+    xxhash64 (seed 42) across every length branch (empty, <4, <8,
+    tail bytes, 4-byte word, 8-byte word, >=32 stripe) and unicode."""
+    from pyspark.sql import functions as F
+
+    from t_res_spark.functions.xxh64 import xxh64_str
+
+    cases = [
+        "", "a", "ab", "abc", "abcd", "hello", "hello world",
+        "x" * 7, "y" * 8, "z" * 15, "w" * 16, "q" * 31, "m" * 32,
+        "n" * 33, "long text " * 10, "Łódź İstanbul 北京", "nation_5",
+    ]
+    got = {
+        r["s"]: r["h"]
+        for r in spark.createDataFrame([(c,) for c in cases], "s string")
+        .select("s", F.xxhash64("s").alias("h"))
+        .collect()
+    }
+    for c in cases:
+        assert xxh64_str(c) == got[c], repr(c)

@@ -245,6 +245,63 @@ def ctx10_expected() -> list[tuple]:
     return sorted(out)
 
 
+# ---------------------------------------------------------------- d3/d3b
+def _simhash_py(text: str, bits: int = 64) -> int:
+    """Signed 64-bit SimHash — exact mirror of operators/dedup.simhash:
+    distinct whitespace tokens of lower(trim(text)), xxhash64 (python
+    from-spec twin), per-bit ±1 votes, bit set iff votes > 0."""
+    import re as _re
+
+    from t_res_spark.functions.xxh64 import to_signed, xxh64_str
+
+    toks = list(dict.fromkeys(_re.split(r"\s+", text.strip().lower())))
+    hs = [xxh64_str(t) for t in toks]
+    fp = 0
+    for i in range(bits):
+        votes = sum(1 if ((h >> i) & 1) == 1 else -1 for h in hs)
+        if votes > 0:
+            fp |= 1 << i
+    return to_signed(fp)
+
+
+def d3_expected() -> list[tuple]:
+    return sorted((doc_id, _simhash_py(text)) for doc_id, text in entry.D3_DOCS)
+
+
+def d3b_expected(max_hamming: int = 3, bands: int = 4,
+                 bucket_cap: int = 50) -> list[tuple]:
+    fps = {doc_id: _simhash_py(text) for doc_id, text in entry.D3_DOCS}
+    seg_w = 64 // bands
+    mask = (1 << seg_w) - 1
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, fp in fps.items():
+        u = fp & ((1 << 64) - 1)  # shiftrightunsigned view
+        for r in range(bands):
+            buckets.setdefault((r, (u >> (seg_w * r)) & mask), []).append(doc_id)
+    pairs = set()
+    for ids in buckets.values():
+        if 1 < len(ids) <= bucket_cap:
+            ids = sorted(ids)
+            for i, a in enumerate(ids):
+                for b in ids[i + 1:]:
+                    pairs.add((a, b))
+    out = []
+    for a, b in pairs:
+        ham = bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+        if ham <= max_hamming:
+            out.append((a, b, ham))
+    return sorted(out)
+
+
+def typed_values_sql(rows, cols, casts) -> str:
+    """VALUES wrapped in an outer SELECT with explicit column casts so
+    DuckDB's literal-type inference (INTEGER for small ints) cannot
+    diverge from Spark's column types."""
+    inner = values_sql(rows, cols)
+    sel = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in zip(cols, casts))
+    return f"SELECT {sel} FROM (\n            {inner}\n            )"
+
+
 if __name__ == "__main__":
     print("-- j4b_jarowinkler oracle:")
     print(values_sql(
@@ -262,4 +319,12 @@ if __name__ == "__main__":
     print(values_sql(
         ctx10_expected(),
         ["conv_id", "mention_id", "mention", "prediction", "link_score"],
+    ))
+    print("\n-- d3_simhash oracle:")
+    print(typed_values_sql(
+        d3_expected(), ["doc_id", "simhash"], ["BIGINT", "BIGINT"]
+    ))
+    print("\n-- d3b_simhash_pairs oracle:")
+    print(typed_values_sql(
+        d3b_expected(), ["a", "b", "hamming"], ["BIGINT", "BIGINT", "INTEGER"]
     ))
