@@ -420,6 +420,7 @@ def embedding_near_duplicates(
     if dim is None:
         dim_row = vectors.select(F.size(vec_col).alias("d")).first()
         dim = dim_row["d"] if dim_row else 0
+    vectors = _rebalance(vectors, id_col)
     planes = [_hyperplanes(dim, bits, seed + t) for t in range(tables)]
     bucketed = vectors.select(
         id_col,

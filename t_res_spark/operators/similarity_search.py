@@ -131,6 +131,12 @@ def lsh_topk(
     shuffled on (table, bucket) — the same co-location join as the
     ER blocking stage. Recall rises with ``tables``; candidate volume
     falls with ``bits``."""
+    from .dedup import _rebalance
+
+    # tiny-file guard (see dedup._rebalance): the per-vector projection
+    # math inherits the scan's partitioning and serializes on one core
+    # for single-row-group inputs; no-op on real multi-split corpora
+    vectors = _rebalance(vectors, id_col)
     all_planes = [_hyperplanes(dim, bits, seed + t) for t in range(tables)]
     v_bucketed = vectors.select(
         id_col,
@@ -257,6 +263,9 @@ def ivf_topk(
     Plan: one shuffle co-locating (cell) on both sides — identical
     join shape to the LSH and ER blocking stages. Recall rises with
     ``nprobe``; candidate volume ≈ nprobe/k of the corpus per query."""
+    from .dedup import _rebalance
+
+    vectors = _rebalance(vectors, id_col)  # tiny-file guard (no-op at scale)
     v_scored = vectors.select(id_col, vec_col, ivf_cell(F.col(vec_col), centroids).alias("cs"))
     v_cells = v_scored.select(
         id_col,
