@@ -293,6 +293,98 @@ def d3b_expected(max_hamming: int = 3, bands: int = 4,
     return sorted(out)
 
 
+# ---------------------------------------------------------------- ann_lsh
+def ann_lsh_oracle_sql(dim: int = 64, bits: int = 8, tables: int = 4,
+                       seed: int = 42, k: int = 10) -> str:
+    """Full SQL recomputation of lsh_topk in DuckDB: the seeded
+    hyperplane CONSTANTS (part of the algorithm, not results) are
+    embedded as DOUBLE e-notation literals; bucketing, candidate join,
+    cosine re-rank and top-k are recomputed from the embeddings table.
+    Cross-engine float safety is audited by ann_margin_audit(): sign
+    decisions and rank orderings sit orders of magnitude above
+    ulp-level differences, and the output cosine is rounded to 6 dp in
+    BOTH engines."""
+    from t_res_spark.operators.similarity_search import _hyperplanes
+
+    rows = []
+    for t in range(tables):
+        for b, p in enumerate(_hyperplanes(dim, bits, seed + t)):
+            lst = ", ".join(f"{x:.17e}" for x in p)
+            rows.append(f"({t}, {b}, [{lst}])")
+    planes = ",\n              ".join(rows)
+    return f"""
+            WITH planes(table_id, bit, w) AS (VALUES
+              {planes}
+            ), e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ), proj AS (
+              SELECT e.vec_id, p.table_id, p.bit,
+                     list_dot_product(e.v, p.w) AS pr
+              FROM e CROSS JOIN planes p
+            ), buckets AS (
+              SELECT vec_id, table_id,
+                     SUM(CASE WHEN pr > 0
+                         THEN CAST(pow(2, bit) AS BIGINT)
+                         ELSE CAST(0 AS BIGINT) END) AS bucket
+              FROM proj GROUP BY vec_id, table_id
+            ), qb AS (
+              SELECT vec_id AS q_id, table_id, bucket
+              FROM buckets WHERE vec_id < 3
+            ), cands AS (
+              SELECT DISTINCT b.vec_id, q.q_id
+              FROM buckets b
+              JOIN qb q ON b.table_id = q.table_id AND b.bucket = q.bucket
+            ), scored AS (
+              SELECT c.q_id, c.vec_id,
+                     list_dot_product(ev.v, eq.v)
+                       / greatest(sqrt(list_dot_product(ev.v, ev.v))
+                                  * sqrt(list_dot_product(eq.v, eq.v)),
+                                  1e-12) AS cos_raw
+              FROM cands c
+              JOIN e ev ON ev.vec_id = c.vec_id
+              JOIN e eq ON eq.vec_id = c.q_id
+            ), ranked AS (
+              SELECT q_id, vec_id, cos_raw,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cos_raw DESC, vec_id ASC)
+                       AS rnk
+              FROM scored
+            )
+            SELECT q_id, vec_id, round(cos_raw, 6) AS cos_sim,
+                   CAST(rnk AS INTEGER) AS rnk
+            FROM ranked WHERE rnk <= {k}
+        """
+
+
+def ann_margin_audit(bits: int = 8, tables: int = 4, seed: int = 42) -> None:
+    """Assert the cross-engine float-safety margins that make the
+    ann_lsh SQL oracle deterministic: every SRP projection and every
+    adjacent top-30 cosine gap must sit far above ~1e-13 ulp noise."""
+    import numpy as np
+    import pandas as pd
+
+    from t_res_spark.operators.similarity_search import _hyperplanes
+
+    for sf in ("0.001", "0.01"):
+        emb = pd.read_parquet(f"/root/testdata/sf{sf}/embeddings.parquet")
+        V = np.array([np.array(list(v), dtype=np.float64)
+                      for v in emb["embedding"]])
+        dim = V.shape[1]
+        min_abs = min(
+            float(np.abs(V @ np.array(_hyperplanes(dim, bits, seed + t)).T).min())
+            for t in range(tables)
+        )
+        assert min_abs > 1e-9, (sf, min_abs)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        for q in range(3):
+            s = np.sort(Vn @ Vn[q])[::-1]
+            gap = float(np.abs(np.diff(s[:30])).min())
+            assert gap > 1e-9, (sf, q, gap)
+        print(f"sf{sf}: min|proj|={min_abs:.3e}  (audit ok)")
+
+
 def typed_values_sql(rows, cols, casts) -> str:
     """VALUES wrapped in an outer SELECT with explicit column casts so
     DuckDB's literal-type inference (INTEGER for small ints) cannot
@@ -328,3 +420,6 @@ if __name__ == "__main__":
     print(typed_values_sql(
         d3b_expected(), ["a", "b", "hamming"], ["BIGINT", "BIGINT", "INTEGER"]
     ))
+    ann_margin_audit()
+    print("\n-- ann_lsh_topk oracle:")
+    print(ann_lsh_oracle_sql())
