@@ -1251,15 +1251,32 @@ def q_e2e_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_fixture_centroids(dim: int, k: int = 8, seed: int = 7) -> list[list[float]]:
+    """Fixture coarse quantizer for the ORACLE-GATED IVF query: k
+    unit-normalized seeded gaussian directions. Training itself is a
+    driver-side numpy stage (unit-tested incl. recall-vs-brute-force
+    and degenerate samples); supplying the quantizer as a seed-derived
+    constant lets the oracle INDEPENDENTLY re-derive every distributed
+    step (assignment, nprobe selection, cosine re-rank, top-k)."""
+    import numpy as np
+
+    from t_res_spark.operators.similarity_search import _hyperplanes
+
+    H = np.asarray(_hyperplanes(dim, k, seed), dtype=np.float64)
+    H = H / np.maximum(np.linalg.norm(H, axis=1, keepdims=True), 1e-12)
+    return H.tolist()
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path #2 — IVF: driver-trained coarse quantizer on a
-    deterministic sample, native nearest-cell assignment, nprobe cell
-    co-location join, exact cosine re-rank. Seeded k-means →
-    rows-only; recall-vs-brute-force is unit-asserted."""
-    from t_res_spark.operators.similarity_search import (
-        ivf_topk,
-        ivf_train_centroids,
-    )
+    """ANN scale path #2 — IVF: nearest-cell assignment, nprobe cell
+    co-location join, exact cosine re-rank; ORACLE-GATED via full SQL
+    recomputation (r4) against a fixture quantizer (see
+    ``_ivf_fixture_centroids``; the numpy training stage is covered by
+    unit tests — ivf_train_centroids recall + degenerate-sample). The
+    oracle embeds the same seed-derived centroid constants and
+    re-derives assignment/probes/re-rank/top-k in DuckDB; cross-engine
+    float margins audited by tools/make_goldens_r4.ann_margin_audit."""
+    from t_res_spark.operators.similarity_search import ivf_topk
 
     _register(spark, sf_dir)
     emb = spark.table("embeddings").select(
@@ -1268,8 +1285,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    cents = ivf_train_centroids(emb, k=8, sample_size=512)
-    return ivf_topk(emb, queries, cents, k=10, nprobe=3)
+    cents = _ivf_fixture_centroids(_embeddings_dim(spark, sf_dir))
+    out = ivf_topk(emb, queries, cents, k=10, nprobe=3)
+    return out.select(
+        "q_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk"
+    )
 
 
 # --- constructed-fixpoint fixture for the FULL 10-loop coherence oracle
@@ -2331,6 +2351,59 @@ def oracle_sql() -> dict[str, str]:
               FROM cands c
               JOIN e ev ON ev.vec_id = c.vec_id
               JOIN e eq ON eq.vec_id = c.q_id
+            ), ranked AS (
+              SELECT q_id, vec_id, cos_raw,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cos_raw DESC, vec_id ASC)
+                       AS rnk
+              FROM scored
+            )
+            SELECT q_id, vec_id, round(cos_raw, 6) AS cos_sim,
+                   CAST(rnk AS INTEGER) AS rnk
+            FROM ranked WHERE rnk <= 10
+        """,
+        "ann_ivf_topk": """
+            -- full SQL recomputation (tools/make_goldens_r4.py):
+            -- fixture-quantizer IVF — assignment, nprobe selection,
+            -- cosine re-rank and top-k re-derived; margins audited
+            WITH cents(cell, c) AS (VALUES
+              (0, [1.96963804431106754e-01, -5.42865434829180732e-02, 3.82388998029043175e-03, 4.74798799486900874e-02, -9.19177275874104166e-02, 2.40660699195974383e-04, -1.03739201122804721e-04, -2.04443608475499888e-01, 1.18567728343115283e-01, 6.99643146418055945e-02, -7.28689719635782912e-02, -1.99871543465397414e-02, 5.88726257723929738e-02, -3.04507371481540015e-02, -2.82827891643446447e-02, -1.69317719758743573e-01, 6.46143669080324473e-02, 1.44334122497236164e-02, 3.19774320059779682e-02, -1.77855964377579112e-01, 1.92323660278245323e-01, 1.79816930047614239e-02, -4.51058247180221583e-02, 2.36407990229399373e-01, -5.28794391548179261e-03, -1.69019137034559952e-01, -4.72132543664189816e-02, -2.66612478714925216e-01, 1.22265598358469355e-01, -4.85235841366673665e-02, -8.65151987865270672e-02, 1.24953910359937054e-01, -1.92367456325355540e-01, 6.23830816585678877e-02, -2.40525768187113270e-01, -7.71484410956737032e-02, -1.40304120562945417e-01, 1.70335346498544343e-01, 2.05776087859724760e-01, -3.83801238057865299e-02, 9.79541556286479542e-02, -2.09702853123333692e-02, 6.61851104830332021e-02, -8.77133533025129947e-02, -1.99039262140864620e-01, -2.10079722976359906e-01, 4.46376753179268393e-02, 2.61868170017377722e-01, 3.13892534041515653e-02, -6.11218873673672822e-02, 2.22770058108155367e-01, 2.76481300503836867e-02, 1.18181128988310326e-02, 2.94279297840504585e-02, -1.54233185535602099e-02, -3.60572082913454620e-02, -1.67188149138836201e-01, 5.84444208532566567e-02, -1.10423244339607485e-02, 1.39006902852643166e-01, -4.29711825893188890e-02, -2.22111892817792450e-01, -1.16056732977755754e-02, 1.98013748615156998e-01]),
+              (1, [-5.52649014887018064e-02, -1.28260005258319626e-01, -1.72039024399400192e-01, -1.51344747238748412e-01, -4.32685884068333693e-02, -1.70077364283134302e-01, 2.15863032871679100e-01, -4.07377843034571127e-02, 1.56600924369307282e-02, 2.07301439784856961e-01, 2.16681636990947751e-01, -3.06623825285694609e-02, 4.78492850809052392e-02, 1.05943458669412474e-01, -2.77973272355110934e-02, -2.56274854821286424e-01, 9.43663646120437155e-02, 1.28907958508617970e-01, 5.98886965186479978e-02, -1.33115614111748937e-01, -2.82545038519488936e-02, -8.51509308889574351e-02, -4.31990430815459847e-02, 1.86927256421615978e-01, 2.20466796869985826e-01, 9.64869573610400155e-02, 7.90936779062544476e-02, 9.75262894066125513e-02, -1.76453426084120508e-03, -1.09057943960354509e-02, -9.70962174478107037e-02, -8.05248546263026554e-03, 3.25738694710641763e-01, 1.25259458933567935e-01, -4.93112242494323297e-02, -6.80214060660877806e-02, -1.24603737661092201e-01, 5.39600750741199980e-02, 5.64356526395792882e-02, -2.08005129165396513e-01, 7.00981895941937827e-02, -8.20811971122921008e-02, 2.05641234078958901e-01, 2.26067933572580773e-02, 2.47585960003805755e-01, -6.60323558073532962e-02, -4.15087120774644963e-02, 4.32130407968263630e-02, 1.52199685517960315e-01, 8.15637819364407601e-02, -1.77794648149677242e-01, 2.63624926417388473e-02, 3.20625755350073668e-03, -6.18440363572002813e-02, -9.34150107905731830e-02, 2.51888001010704465e-01, -5.62685689637487593e-02, -1.21927521873222158e-01, 9.18306065460128829e-02, 1.88274142554746178e-02, -1.09274730768455838e-02, 1.12613363770349292e-01, 7.04282915117998010e-02, 5.22044538412731671e-02]),
+              (2, [1.25224110241015707e-01, 3.68368605716619182e-02, -8.01218246760880271e-02, -4.70508679931093618e-02, -6.76605106559805686e-02, 2.72373416192450944e-02, -1.40001691993552307e-01, -2.37983609198198720e-01, 1.14489903032621680e-02, -1.73578627470482111e-01, -2.53510265299801196e-01, 4.84857827659501486e-02, -9.23469810065510738e-02, 6.44335546118815494e-02, -6.89438450083608989e-02, -1.45713203904485195e-01, -1.61499995864477192e-01, -6.68754106078356808e-02, -3.55051871695831953e-02, -1.06945659133334731e-01, -3.65084739466689998e-02, -1.99499011249513691e-01, 1.88173027534877684e-03, -2.32947474527187642e-01, -2.51768021258735215e-02, 9.05600400403890338e-02, 1.41813935133060065e-01, 2.22652596119010698e-01, -2.02120553775411410e-01, 9.85383119951875608e-02, 1.56664113846698067e-01, 1.27348386517821072e-01, -1.20694554458680353e-01, 5.34815037031604740e-02, 2.41571976289160578e-01, -1.94456197322669527e-01, 6.18636535187137085e-02, 1.44457079882220840e-01, -9.04687267324829208e-02, 7.57124049486416900e-02, -1.39080578830107771e-01, -1.05484386895017893e-01, -1.06117087225105253e-01, 2.49756776385528720e-02, -1.18160572121529701e-02, 1.23914299866620128e-01, -1.22117357712282534e-01, -1.70492306789495722e-02, 1.24818382668150749e-01, 7.28301049142467544e-02, -1.72035832092876179e-01, 8.63923436321979710e-02, -6.21338137573473823e-02, 5.00515059761495740e-02, 3.90504236905758750e-02, 1.58357234638203476e-01, 1.51380495855287112e-02, -2.40760292674658538e-01, -1.77908502682874003e-01, 9.49575932040233189e-02, -3.35484512962248085e-02, 1.47793345450486974e-01, 3.55124616042691368e-02, -9.72838033316444084e-02]),
+              (3, [1.52145701175507603e-01, -1.13489762771941310e-01, -2.88523390914664724e-01, 2.90092073408376838e-01, -2.68579464369274601e-01, 8.94557242891553667e-02, 1.31967265914534310e-01, 2.06719319327741680e-02, -2.36622314884144758e-01, 1.42672944040740740e-01, -2.02626856838172970e-01, -1.88863667275115416e-01, -5.08369691237377033e-02, 1.10834102089128486e-01, 4.21847334283166273e-02, 1.13963543024758765e-01, -6.23596453592254393e-02, -2.42024974700441875e-02, -1.59838685793222385e-01, -4.45393712906845402e-02, 8.33715215961192829e-02, -4.21445534170513669e-02, 6.68317401919795717e-02, -8.05808095564457816e-02, -8.32679890862099426e-02, 5.50563974528845042e-03, -2.73930134162188796e-02, 8.32670964884486692e-02, 2.50609057807676464e-02, 2.44627266988287767e-01, -3.08526762171518684e-02, -3.19431797986977004e-02, -1.46203327531409827e-01, 3.20172596227237668e-03, 9.59800802461500818e-02, -1.04057738393785265e-01, -6.98205289153049080e-03, 1.01002068889442465e-01, -1.78386556517404968e-02, -7.29711894165875896e-02, 1.36780317015385899e-01, 1.36373038108849095e-02, 5.57420620719313031e-02, 1.64653884719132920e-01, 1.60988364048642862e-01, -4.88038561465444290e-02, -7.38556668918989717e-02, 3.99631484409234336e-02, -1.86649357783397127e-02, -2.67049082945816918e-01, 1.79267917194800119e-01, 2.72147482598528168e-03, 1.03507060593907116e-01, -1.64867977301256685e-01, 1.81072994919394575e-01, -8.26876368794186023e-02, -1.51339431687429402e-02, -1.96987626975693692e-01, -2.34668571014736253e-02, -3.23017942728547544e-02, -2.60547238329517337e-02, 6.16372828015504665e-02, 8.48235772227773875e-03, 1.37158356002813647e-01]),
+              (4, [-5.69663108325690892e-02, -1.21196966301166345e-01, -2.32489931240402632e-03, 7.64609270337264502e-02, 1.51450198431182986e-01, 9.90393907715471922e-02, -2.14821923257307840e-01, 4.58811237005074743e-02, 1.77700603977669042e-01, 7.61440223696566599e-03, -6.27929583779557043e-02, 3.76192359154514655e-02, -6.12353691033936942e-02, 7.77684132883853241e-02, -1.58119012514886057e-03, 1.69502704058839077e-01, 6.07803723279247282e-02, -8.80835609147131021e-02, 7.35725972811449025e-02, 1.13895548753669570e-01, -6.91707074901947577e-02, -5.18114112424551618e-02, -2.80498752162781362e-01, 1.09928028501314931e-01, -7.15189864355412208e-02, -2.58251213851856343e-01, -2.15227249136731968e-01, -2.71289668780925024e-02, 9.25584420855099232e-02, -1.08375393506292880e-02, 5.74067468945676854e-02, -1.34032410499610039e-01, -1.63219726993806130e-01, 1.07776064436921448e-01, 5.98850027515187705e-02, -3.71237048111902265e-03, 1.56007283929646606e-01, -1.15742526686800032e-01, -5.11387446685944089e-02, 1.24890667412694251e-01, 2.23626051623221855e-01, 1.02524181218055098e-03, 2.04366873324297205e-01, -7.33145505573651185e-02, 4.01245410657509807e-02, -2.11511590818156854e-02, -1.93260863569427482e-01, 3.13905879632610033e-02, 1.13498621995115359e-01, -1.80413920570526992e-02, -8.57310346826932988e-03, 1.69493844036853025e-01, -1.52067343632285329e-01, -1.82229178644075590e-01, -7.95846326065627746e-02, -1.45607163710696041e-01, 1.63818845304695510e-01, 3.76835161098142968e-02, -1.05144367586338952e-01, -7.47709045784356319e-02, 3.48139684181329678e-01, -7.42368290607905157e-02, -9.27245008295932704e-02, 3.70286312662200454e-02]),
+              (5, [7.60235274141937700e-02, 2.64049673082187089e-02, -1.08228244830131382e-01, -1.38073091083933536e-01, 7.10074939870921767e-02, -6.45470147465825126e-03, -1.95514365076066704e-01, 1.39480271120588001e-01, 9.23509896313204348e-02, -2.87005387539194731e-02, -3.10005565362675220e-02, 2.75696384736456752e-02, -8.18310454695638095e-02, -1.60600194678674757e-01, 3.84157352521890955e-02, -1.71412480656673555e-01, 4.65402512611628530e-02, -1.71665105017546837e-01, -1.18170099066324738e-02, -1.61568923693532346e-02, 2.12332537596142706e-01, -1.26780825500666189e-01, -1.68537027333596601e-01, -7.69674716880881654e-02, -1.33850017549980438e-01, -7.02477872642016804e-02, 5.01224464722135471e-02, 9.19517760524253547e-02, 1.97673663840419733e-01, -8.77467344301105096e-02, 3.14281635592283337e-01, 2.36102060443224571e-01, -2.42424843470806645e-02, -2.72935618120432488e-01, -9.89967303549090308e-03, 8.63653526283091229e-03, -2.73868133921378709e-01, 8.79426027006929324e-03, -2.38407746909974037e-02, -9.35876430518816221e-02, 7.46390574414618618e-02, 1.19749056942760099e-01, -5.79095419652407642e-02, 2.73337933954332125e-02, -7.79935693204097252e-02, -9.36941576171649304e-02, 9.46901343501860109e-03, 6.23457891026442390e-02, -6.70949393740857686e-02, -2.63674634166669974e-01, 6.97740045832866695e-02, -1.90169195348242226e-01, 1.45315000942393743e-02, 2.11903373672912926e-01, -2.00460081191122580e-03, -1.41713503370321986e-01, -1.74043959602256049e-01, 1.39416014009004857e-01, -2.01876920908130014e-03, 6.42893316221264666e-02, 1.10333660391450664e-01, -5.83676125728615353e-03, -3.67584682840863611e-02, -1.12840479556197915e-01]),
+              (6, [-3.91647965297239775e-01, -1.92869711473677902e-01, -8.84221027727345038e-03, -2.22679338049985263e-02, 5.12743418649719077e-02, -1.60962094741611203e-02, 2.02471854094990085e-02, 1.00093857839627348e-01, -1.12449477206461160e-01, -3.64848769005862508e-02, -2.04204594386931698e-01, 1.23610994898546558e-01, 4.88119296117835340e-03, 6.22344028462845089e-02, 1.95980357930595095e-01, 1.37161810265257256e-01, -7.62348961614466285e-03, 1.00079443434501106e-01, -1.81905315973707765e-01, 5.51304100717279200e-02, 1.76492340983773026e-02, -2.05609338160235328e-01, 1.69913335972095847e-01, -8.94565992435683577e-02, 8.68076964187719374e-02, -5.33548766391880938e-02, 1.26234695761237192e-01, 1.66729555563989024e-01, -1.05462023221467846e-01, -1.94444966060530883e-01, -1.66963175930108093e-02, 1.07859192075345875e-01, -4.71771056425183341e-02, -7.79513031060859035e-02, 6.20387531028022687e-02, -3.50864890634078774e-01, -8.44555066878145549e-02, -1.75818383769417858e-01, 3.74575859661219063e-02, -9.35442306211274749e-02, -1.41687743398088178e-01, -4.49560567958622315e-02, -1.86568785597697490e-01, -1.66743858910480295e-03, -8.66988903542989797e-02, -4.79530151783521055e-02, -9.11160558142577182e-02, 1.15907658248777121e-01, -1.38304159280585939e-02, 6.66419057384627506e-02, 6.09591774916288728e-02, -1.02425593688061242e-01, 7.24180233810149954e-02, 4.43560136956211992e-02, 3.98506516230356100e-02, -5.06560165793371112e-02, -5.42327205739102716e-02, 9.98083891471246848e-02, 2.77229100943582218e-01, -1.05471892719643467e-01, 6.79043729112054351e-02, -4.65342532691807795e-02, 9.97200372843988769e-02, 5.56899430926373271e-02]),
+              (7, [1.34560088340070383e-01, -3.54737686153278442e-01, -7.62944901556268790e-02, -1.25428813916274029e-01, -1.37067072873315338e-02, -9.18791585562426932e-02, -8.13580313139129346e-02, 8.65474072172730258e-02, 2.41408783390755166e-01, -3.58424424989012780e-01, -3.94049368370018721e-02, 3.96085028119929072e-02, 6.00764970184064213e-04, -4.38074599616027210e-02, -1.71793533057305409e-01, -1.19651937126683885e-01, 9.20208350914050455e-02, 1.36544857136007364e-01, 1.22707545893463183e-02, -1.06134059350553228e-01, 1.21484446130276629e-02, -3.04678759544449659e-02, 6.92527464460446079e-02, 1.50155231471621291e-02, -7.89227768545410630e-02, 2.42018358316723331e-02, -1.49700003469615622e-01, 1.04082838397552765e-01, 1.50071972755338429e-01, -1.49585689823886009e-01, 5.34428368699881445e-02, -1.25819377839046814e-01, 1.36027230301194679e-01, 1.14758371005334953e-01, -2.92161541948024218e-02, 1.26285389413030580e-01, -5.47177304341566265e-02, -8.16162385462605583e-02, -7.21867323153691787e-02, -1.78779734996606827e-02, -4.10501347425850580e-02, 1.95907692441760969e-02, -7.80684250912120070e-02, 9.70616881221279260e-02, 1.29590040213434510e-01, -6.29389839300719539e-02, -1.81149074208610511e-01, 9.18801046996317455e-02, 1.44515221511735820e-01, -2.07208649531229576e-02, -1.63295610595516061e-01, 3.38595486853377758e-02, 1.93523755974790601e-01, -2.38159218646177367e-01, 6.06623657576070216e-02, -3.98091445378861361e-02, -1.08609343562815569e-01, 6.32356938612911867e-02, -1.64858458528618274e-01, 3.76907304491276088e-02, 1.66689917329871817e-01, 2.24269043990367317e-02, -1.11230243870261536e-01, -2.25844889689309380e-01])
+            ), e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ), vs AS (
+              SELECT e.vec_id, e.v, c.cell,
+                     list_dot_product(e.v, c.c) AS s
+              FROM e CROSS JOIN cents c
+            ), vcell AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT vec_id, v, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cell ASC) AS rc
+                FROM vs
+              ) WHERE rc = 1
+            ), qcell AS (
+              SELECT vec_id AS q_id, v AS qv, cell FROM (
+                SELECT vec_id, v, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cell DESC) AS rc
+                FROM vs WHERE vec_id < 3
+              ) WHERE rc <= 3
+            ), scored AS (
+              SELECT q.q_id, vc.vec_id,
+                     list_dot_product(vc.v, q.qv)
+                       / greatest(sqrt(list_dot_product(vc.v, vc.v))
+                                  * sqrt(list_dot_product(q.qv, q.qv)),
+                                  1e-12) AS cos_raw
+              FROM vcell vc JOIN qcell q ON vc.cell = q.cell
             ), ranked AS (
               SELECT q_id, vec_id, cos_raw,
                      row_number() OVER (PARTITION BY q_id

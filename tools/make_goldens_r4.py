@@ -358,6 +358,66 @@ def ann_lsh_oracle_sql(dim: int = 64, bits: int = 8, tables: int = 4,
         """
 
 
+def ann_ivf_oracle_sql(dim: int = 64, k_cents: int = 8, nprobe: int = 3,
+                       k: int = 10) -> str:
+    """Full SQL recomputation of ivf_topk against the fixture
+    quantizer (entry._ivf_fixture_centroids): assignment = first-max
+    cell (s desc, cell asc), probes = top-nprobe by the struct-sort
+    order (s desc, cell DESC on ties), cosine re-rank + top-k window.
+    Margins audited by ann_margin_audit."""
+    import __spark_entry__ as entry_mod
+
+    cents = entry_mod._ivf_fixture_centroids(dim, k_cents)
+    rows = []
+    for i, c in enumerate(cents):
+        lst = ", ".join(f"{x:.17e}" for x in c)
+        rows.append(f"({i}, [{lst}])")
+    cent_rows = ",\n              ".join(rows)
+    return f"""
+            WITH cents(cell, c) AS (VALUES
+              {cent_rows}
+            ), e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ), vs AS (
+              SELECT e.vec_id, e.v, c.cell,
+                     list_dot_product(e.v, c.c) AS s
+              FROM e CROSS JOIN cents c
+            ), vcell AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT vec_id, v, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cell ASC) AS rc
+                FROM vs
+              ) WHERE rc = 1
+            ), qcell AS (
+              SELECT vec_id AS q_id, v AS qv, cell FROM (
+                SELECT vec_id, v, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cell DESC) AS rc
+                FROM vs WHERE vec_id < 3
+              ) WHERE rc <= {nprobe}
+            ), scored AS (
+              SELECT q.q_id, vc.vec_id,
+                     list_dot_product(vc.v, q.qv)
+                       / greatest(sqrt(list_dot_product(vc.v, vc.v))
+                                  * sqrt(list_dot_product(q.qv, q.qv)),
+                                  1e-12) AS cos_raw
+              FROM vcell vc JOIN qcell q ON vc.cell = q.cell
+            ), ranked AS (
+              SELECT q_id, vec_id, cos_raw,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cos_raw DESC, vec_id ASC)
+                       AS rnk
+              FROM scored
+            )
+            SELECT q_id, vec_id, round(cos_raw, 6) AS cos_sim,
+                   CAST(rnk AS INTEGER) AS rnk
+            FROM ranked WHERE rnk <= {k}
+        """
+
+
 def ann_margin_audit(bits: int = 8, tables: int = 4, seed: int = 42) -> None:
     """Assert the cross-engine float-safety margins that make the
     ann_lsh SQL oracle deterministic: every SRP projection and every
@@ -382,7 +442,26 @@ def ann_margin_audit(bits: int = 8, tables: int = 4, seed: int = 42) -> None:
             s = np.sort(Vn @ Vn[q])[::-1]
             gap = float(np.abs(np.diff(s[:30])).min())
             assert gap > 1e-9, (sf, q, gap)
-        print(f"sf{sf}: min|proj|={min_abs:.3e}  (audit ok)")
+        # IVF margins: cell-argmax gap per vector, nprobe boundary gap
+        # per query, and re-rank gaps within probed candidate sets
+        import __spark_entry__ as entry_mod
+
+        C = np.asarray(entry_mod._ivf_fixture_centroids(dim))
+        S = V @ C.T  # (n, k) raw dot scores — exactly ivf_cell's math
+        srt = np.sort(S, axis=1)[:, ::-1]
+        cell_gap = float((srt[:, 0] - srt[:, 1]).min())
+        assert cell_gap > 1e-9, (sf, cell_gap)
+        probe_gap = float((srt[:3, 2] - srt[:3, 3]).min())
+        assert probe_gap > 1e-9, (sf, probe_gap)
+        vcell = S.argmax(axis=1)
+        for q in range(3):
+            probes = set(np.argsort(-S[q])[:3])
+            cand = [i for i in range(len(V)) if vcell[i] in probes]
+            cos = np.sort(Vn[cand] @ Vn[q])[::-1]
+            rgap = float(np.abs(np.diff(cos[:12])).min())
+            assert rgap > 1e-9, (sf, q, rgap)
+        print(f"sf{sf}: min|proj|={min_abs:.3e} cell_gap={cell_gap:.3e} "
+              f"probe_gap={probe_gap:.3e}  (audit ok)")
 
 
 def typed_values_sql(rows, cols, casts) -> str:
@@ -423,3 +502,5 @@ if __name__ == "__main__":
     ann_margin_audit()
     print("\n-- ann_lsh_topk oracle:")
     print(ann_lsh_oracle_sql())
+    print("\n-- ann_ivf_topk oracle:")
+    print(ann_ivf_oracle_sql())
