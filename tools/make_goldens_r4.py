@@ -293,129 +293,15 @@ def d3b_expected(max_hamming: int = 3, bands: int = 4,
     return sorted(out)
 
 
-# ---------------------------------------------------------------- ann_lsh
-def ann_lsh_oracle_sql(dim: int = 64, bits: int = 8, tables: int = 4,
-                       seed: int = 42, k: int = 10) -> str:
-    """Full SQL recomputation of lsh_topk in DuckDB: the seeded
-    hyperplane CONSTANTS (part of the algorithm, not results) are
-    embedded as DOUBLE e-notation literals; bucketing, candidate join,
-    cosine re-rank and top-k are recomputed from the embeddings table.
-    Cross-engine float safety is audited by ann_margin_audit(): sign
-    decisions and rank orderings sit orders of magnitude above
-    ulp-level differences, and the output cosine is rounded to 6 dp in
-    BOTH engines."""
-    from t_res_spark.operators.similarity_search import _hyperplanes
-
-    rows = []
-    for t in range(tables):
-        for b, p in enumerate(_hyperplanes(dim, bits, seed + t)):
-            lst = ", ".join(f"{x:.17e}" for x in p)
-            rows.append(f"({t}, {b}, [{lst}])")
-    planes = ",\n              ".join(rows)
-    return f"""
-            WITH planes(table_id, bit, w) AS (VALUES
-              {planes}
-            ), e AS (
-              SELECT vec_id,
-                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-              FROM embeddings
-            ), proj AS (
-              SELECT e.vec_id, p.table_id, p.bit,
-                     list_dot_product(e.v, p.w) AS pr
-              FROM e CROSS JOIN planes p
-            ), buckets AS (
-              SELECT vec_id, table_id,
-                     SUM(CASE WHEN pr > 0
-                         THEN CAST(pow(2, bit) AS BIGINT)
-                         ELSE CAST(0 AS BIGINT) END) AS bucket
-              FROM proj GROUP BY vec_id, table_id
-            ), qb AS (
-              SELECT vec_id AS q_id, table_id, bucket
-              FROM buckets WHERE vec_id < 3
-            ), cands AS (
-              SELECT DISTINCT b.vec_id, q.q_id
-              FROM buckets b
-              JOIN qb q ON b.table_id = q.table_id AND b.bucket = q.bucket
-            ), scored AS (
-              SELECT c.q_id, c.vec_id,
-                     list_dot_product(ev.v, eq.v)
-                       / greatest(sqrt(list_dot_product(ev.v, ev.v))
-                                  * sqrt(list_dot_product(eq.v, eq.v)),
-                                  1e-12) AS cos_raw
-              FROM cands c
-              JOIN e ev ON ev.vec_id = c.vec_id
-              JOIN e eq ON eq.vec_id = c.q_id
-            ), ranked AS (
-              SELECT q_id, vec_id, cos_raw,
-                     row_number() OVER (PARTITION BY q_id
-                                        ORDER BY cos_raw DESC, vec_id ASC)
-                       AS rnk
-              FROM scored
-            )
-            SELECT q_id, vec_id, round(cos_raw, 6) AS cos_sim,
-                   CAST(rnk AS INTEGER) AS rnk
-            FROM ranked WHERE rnk <= {k}
-        """
+# ---------------------------------------------------------------- ann
+def ann_lsh_oracle_sql(**kw) -> str:
+    """Delegates to __spark_entry__._ann_lsh_oracle_sql — single source
+    of truth; kept here so the generator prints the full oracle set."""
+    return entry._ann_lsh_oracle_sql(**kw)
 
 
-def ann_ivf_oracle_sql(dim: int = 64, k_cents: int = 8, nprobe: int = 3,
-                       k: int = 10) -> str:
-    """Full SQL recomputation of ivf_topk against the fixture
-    quantizer (entry._ivf_fixture_centroids): assignment = first-max
-    cell (s desc, cell asc), probes = top-nprobe by the struct-sort
-    order (s desc, cell DESC on ties), cosine re-rank + top-k window.
-    Margins audited by ann_margin_audit."""
-    import __spark_entry__ as entry_mod
-
-    cents = entry_mod._ivf_fixture_centroids(dim, k_cents)
-    rows = []
-    for i, c in enumerate(cents):
-        lst = ", ".join(f"{x:.17e}" for x in c)
-        rows.append(f"({i}, [{lst}])")
-    cent_rows = ",\n              ".join(rows)
-    return f"""
-            WITH cents(cell, c) AS (VALUES
-              {cent_rows}
-            ), e AS (
-              SELECT vec_id,
-                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-              FROM embeddings
-            ), vs AS (
-              SELECT e.vec_id, e.v, c.cell,
-                     list_dot_product(e.v, c.c) AS s
-              FROM e CROSS JOIN cents c
-            ), vcell AS (
-              SELECT vec_id, v, cell FROM (
-                SELECT vec_id, v, cell,
-                       row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY s DESC, cell ASC) AS rc
-                FROM vs
-              ) WHERE rc = 1
-            ), qcell AS (
-              SELECT vec_id AS q_id, v AS qv, cell FROM (
-                SELECT vec_id, v, cell,
-                       row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY s DESC, cell DESC) AS rc
-                FROM vs WHERE vec_id < 3
-              ) WHERE rc <= {nprobe}
-            ), scored AS (
-              SELECT q.q_id, vc.vec_id,
-                     list_dot_product(vc.v, q.qv)
-                       / greatest(sqrt(list_dot_product(vc.v, vc.v))
-                                  * sqrt(list_dot_product(q.qv, q.qv)),
-                                  1e-12) AS cos_raw
-              FROM vcell vc JOIN qcell q ON vc.cell = q.cell
-            ), ranked AS (
-              SELECT q_id, vec_id, cos_raw,
-                     row_number() OVER (PARTITION BY q_id
-                                        ORDER BY cos_raw DESC, vec_id ASC)
-                       AS rnk
-              FROM scored
-            )
-            SELECT q_id, vec_id, round(cos_raw, 6) AS cos_sim,
-                   CAST(rnk AS INTEGER) AS rnk
-            FROM ranked WHERE rnk <= {k}
-        """
+def ann_ivf_oracle_sql(**kw) -> str:
+    return entry._ann_ivf_oracle_sql(**kw)
 
 
 def ann_margin_audit(bits: int = 8, tables: int = 4, seed: int = 42) -> None:
