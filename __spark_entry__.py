@@ -794,6 +794,36 @@ def q_s6_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_ER_FIXTURE_OK: set = set()
+
+
+def _assert_er_fixture(spark: SparkSession, sf_dir: str) -> None:
+    """ADVICE r4: the er_pipeline constructed oracle is conditional on
+    two fixture properties nothing else enforces — every document text
+    is >= 41 chars (so the planted mention sits at start_char 41) and
+    every nation name is a single proper-noun-shaped token (a real
+    TPC-H 'UNITED KINGDOM' would extract as 'United' only and silently
+    flip the gate). Assert both once per sf_dir so a fixture
+    regeneration fails loudly instead."""
+    if sf_dir in _ER_FIXTURE_OK:
+        return
+    mn = spark.sql("SELECT min(length(text)) AS mn FROM documents").first().mn
+    assert mn is not None and mn >= 41, (
+        f"er_pipeline oracle requires len(text) >= 41 for every document; "
+        f"fixture min is {mn}"
+    )
+    bad = (
+        spark.table("nation")
+        .filter(~F.col("n_name").rlike("^[A-Za-z][A-Za-z0-9_]+$"))
+        .count()
+    )
+    assert bad == 0, (
+        "er_pipeline oracle requires single-token nation names "
+        "(no spaces/punctuation) so the planted surface extracts whole"
+    )
+    _ER_FIXTURE_OK.add(sf_dir)
+
+
 def _derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) derived
     deterministically from documents ⋈ nation (input_hint shape; plants
@@ -808,6 +838,7 @@ def _derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps mixed-case filler so throughput numbers still measure
     extraction over realistic mention-bearing text."""
     _register(spark, sf_dir)
+    _assert_er_fixture(spark, sf_dir)
     return spark.sql(
         """
         SELECT 'conv' || CAST(CAST(floor(d.doc_id / 8) AS BIGINT) AS STRING) AS conv_id,

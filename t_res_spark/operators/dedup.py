@@ -50,12 +50,23 @@ def _rebalance(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     Shingling/hashing inherit the SCAN's partitioning; a small corpus
     in one parquet row group serializes the whole signature stage onto
     one core (measured: 3.8 s single-task out of d2's 9.6 s steady
-    state at sf0.1). When the input has fewer partitions than
-    ``spark.sql.shuffle.partitions``, repartition on the id; at target
-    scale inputs arrive in thousands of splits and this is a no-op —
-    no shuffle is ever added to a large corpus."""
-    target = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if docs.rdd.getNumPartitions() < target:
+    state at sf0.1). The gate signal is the scan's FILE count
+    (``DataFrame.inputFiles`` — analyzed-plan metadata only; no
+    plan-to-RDD conversion, works under Spark Connect), and the guard
+    only fires when the input is far below the session's parallelism:
+    fewer source files than executor cores. At target scale inputs
+    arrive in thousands of splits and this short-circuits without
+    touching the plan; frames with no file scan behind them (in-memory
+    fixtures, already-shuffled intermediates) report zero files and
+    are left untouched — their partitioning was chosen upstream."""
+    spark = docs.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        n_files = len(docs.inputFiles())
+    except Exception:  # exotic plans (pure local relations) — leave as-is
+        return docs
+    if 0 < n_files < cores:
+        target = int(spark.conf.get("spark.sql.shuffle.partitions"))
         return docs.repartition(target, key)
     return docs
 

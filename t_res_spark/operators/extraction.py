@@ -105,6 +105,34 @@ _STOP_CAPS = frozenset(
 # tokenizer does (recogniser.py:374-379)
 _TOKEN_WITH_POS = re.compile(r"[^\s,]+")
 
+# --- JVM prefilter parity (ADVICE r4) -------------------------------
+# The scan-side RLIKE prefilter uses Java's \p{Lu}/\p{Ll} (JVM Unicode
+# tables) while the Python kernel classifies with unicodedata; Python
+# is typically one Unicode version ahead (here 14.0 vs Java 17's
+# 13.0), so a handful of recently-encoded letters (Latin Extended-D
+# A7C0-A7D9 'Old Polish O' block, Glagolitic 2C2F/2C5F) are Lu/Ll to
+# the kernel but not to the JVM — rows whose ONLY case signal is such
+# a char would be silently dropped before the kernel ever saw them.
+# The delta chars are unioned into the prefilter class explicitly
+# (`[\p{Lu}\x{...}...]` — one table lookup plus <=6 single-char
+# checks; a full explicit-range class instead of \p{Lu} measured ~20x
+# slower). The full-BMP sweep in tests/test_extraction.py re-measures
+# the delta against the running JVM and fails loudly if either table
+# moves, so the superset invariant (prefilter keeps every row the
+# kernel extracts from) is enforced per environment, not assumed.
+_JVM_DELTA_LU = (0x2C2F, 0xA7C0, 0xA7D0, 0xA7D6, 0xA7D8)
+_JVM_DELTA_LL = (0x2C5F, 0xA7C1, 0xA7D1, 0xA7D3, 0xA7D5, 0xA7D7, 0xA7D9)
+
+
+def _prefilter_class(prop: str, delta: tuple[int, ...]) -> str:
+    extras = "".join(f"\\x{{{cp:X}}}" for cp in delta)
+    return f"[\\p{{{prop}}}{extras}]"
+
+
+PREFILTER_PATTERN = _prefilter_class("Lu", _JVM_DELTA_LU) + _prefilter_class(
+    "Ll", _JVM_DELTA_LL
+)
+
 MENTION_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType(), False),
@@ -348,17 +376,17 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
 
     JVM-side prefilter: a turn can only yield mentions if it contains a
     capital-then-lowercase bigram (`_CAP_TOKEN` requires one), so rows
-    without one are dropped by a native RLIKE before the UDF (Java
-    regex \\p{Lu}\\p{Ll} — unicode categories, matching the Python
-    kernel's widened classes) —
-    semantically identical output (those rows produce zero mentions),
-    but on real transcripts a large fraction of turns (tool output,
-    all-lowercase chat) never pays the Arrow transfer or the Python
-    tokenizer. The Python kernel is the pipeline's throughput ceiling
-    (~11-14k rows/s/core), so scan-side pruning here is the single
-    highest-leverage filter in the engine."""
+    without one are dropped by a native RLIKE before the UDF
+    (``PREFILTER_PATTERN`` — Java \\p{Lu}/\\p{Ll} unioned with the
+    measured Python-vs-JVM Unicode-table delta, see the parity note
+    above) — semantically identical output (those rows produce zero
+    mentions), but on real transcripts a large fraction of turns (tool
+    output, all-lowercase chat) never pays the Arrow transfer or the
+    Python tokenizer. The Python kernel is the pipeline's throughput
+    ceiling (~11-14k rows/s/core), so scan-side pruning here is the
+    single highest-leverage filter in the engine."""
     pruned = transcripts.select("conv_id", "turn_idx", "text").filter(
-        F.col("text").rlike("\\p{Lu}\\p{Ll}")
+        F.col("text").rlike(PREFILTER_PATTERN)
     )
     return pruned.mapInPandas(_extract_batches, schema=MENTION_SCHEMA)
 

@@ -19,8 +19,10 @@ analog) — kill it between stages and it picks up where it left off.
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import tempfile
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,6 +31,76 @@ from pyspark.storagelevel import StorageLevel
 
 from ..operators import clustering, extraction, linking, ranking
 from ..sources.tables import CheckpointCatalog
+
+# Outstanding scratch dirs, removed at interpreter exit as a backstop
+# (ADVICE r4: a resolve() that raises mid-pipeline, or a caller that
+# never calls PipelineResult.unpersist(), must not leak stage files).
+_LIVE_SCRATCH: list = []
+
+
+@atexit.register
+def _cleanup_scratch_atexit() -> None:
+    for path, remover in list(_LIVE_SCRATCH):
+        try:
+            remover(path, ignore_errors=True)
+        except Exception:
+            pass
+    _LIVE_SCRATCH.clear()
+
+
+def _hadoop_remover(spark: SparkSession):
+    """Remover that goes through the Hadoop FileSystem API, so scratch
+    paths on shared storage (hdfs://, s3a://, …) are deleted where they
+    live — ``shutil`` only ever works for driver-local paths."""
+
+    def remove(path: str, ignore_errors: bool = True) -> None:
+        try:
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(hpath, True)
+        except Exception:
+            if not ignore_errors:
+                raise
+
+    return remove
+
+
+def _scratch_dir(spark: SparkSession, name: str):
+    """(path, remover) for a session-temp stage table.
+
+    Executors perform parquet writes, so on any multi-node deployment
+    the scratch path MUST be on storage every executor and the driver
+    share (ADVICE r4 — a driver-local tempdir silently breaks off
+    local mode). Resolution order:
+
+    1. ``spark.tres.scratchDir`` — explicit spark-visible scratch root
+       (any Hadoop-FS scheme);
+    2. the session's checkpoint dir, if one is set (already required to
+       be shared storage by Spark's own checkpoint contract);
+    3. a driver-local tempdir — **only** under a ``local[*]`` master,
+       where driver and executors share a filesystem by construction;
+    otherwise raise with instructions rather than corrupt silently.
+    """
+    root = spark.conf.get("spark.tres.scratchDir", None)
+    if not root:
+        try:  # Option[String] → None when unset
+            root = spark.sparkContext._jsc.sc().getCheckpointDir().orNull()
+        except Exception:
+            root = None
+    if root:
+        path = f"{str(root).rstrip('/')}/tres_{name}_{uuid.uuid4().hex[:12]}"
+        return path, _hadoop_remover(spark)
+    if spark.sparkContext.master.startswith("local"):
+        def _rm(path: str, ignore_errors: bool = True) -> None:
+            shutil.rmtree(path, ignore_errors=ignore_errors)
+
+        return tempfile.mkdtemp(prefix=f"tres_{name}_"), _rm
+    raise RuntimeError(
+        "resolve() needs a spark-visible scratch dir for stage tables on "
+        "a non-local master: set spark.tres.scratchDir (shared storage) "
+        "or pass a CheckpointCatalog"
+    )
 
 
 @dataclass
@@ -70,18 +142,28 @@ class PipelineResult:
     def unpersist(self) -> None:
         """Release the persisted shared stages (mentions/linked) and
         delete session-temp stage files — call when done with the
-        result in a long-lived session."""
+        result in a long-lived session. (An atexit backstop removes
+        anything still outstanding, and resolve() itself cleans up on
+        a mid-pipeline exception — ADVICE r4.)"""
         for df in (self.mentions, self.linked):
             try:
                 df.unpersist()
             except Exception:
                 pass
-        for path, remover in self.temp_paths:
-            try:
-                remover(path, ignore_errors=True)
-            except Exception:
-                pass
+        _drop_scratch(self.temp_paths)
         self.temp_paths = []
+
+
+def _drop_scratch(paths: list) -> None:
+    for path, remover in paths:
+        try:
+            remover(path, ignore_errors=True)
+        except Exception:
+            pass
+        try:
+            _LIVE_SCRATCH.remove((path, remover))
+        except ValueError:
+            pass
 
 
 def blocking_metrics(surfaces: DataFrame) -> DataFrame:
@@ -171,11 +253,37 @@ def resolve(
     def _materialize_small(df: DataFrame, name: str) -> DataFrame:
         if catalog is not None:
             return catalog.materialize(df, name, cfg_d)
-        tmp = tempfile.mkdtemp(prefix=f"tres_{name}_")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        _cleanup_paths.append((tmp, shutil.rmtree))
-        return spark.read.parquet(tmp)
+        tmp, remover = _scratch_dir(spark, name)
+        # No forced coalesce(1) (VERDICT r4 #5): the input arrives from
+        # a shuffle, so AQE's partition coalescing already sizes the
+        # write — one file for a sandbox-scale table, many for the
+        # ~10^8-surface table SCALE.md budgets at target scale. A
+        # single-task write there would be the bottleneck; a
+        # parquet-backed table with real file stats is what we need,
+        # and that is partition-count-independent.
+        df.write.mode("overwrite").parquet(tmp)
+        _cleanup_paths.append((tmp, remover))
+        _LIVE_SCRATCH.append((tmp, remover))
+        # explicit schema: skips the read-back footer-inference job —
+        # one fewer serial job per materialized stage
+        return spark.read.schema(df.schema).parquet(tmp)
 
+    try:
+        return _resolve_stages(
+            spark, mentions, aliases, embeddings_kb, entities, origins,
+            cfg, catalog, cfg_d, _stage, _materialize_small, _cleanup_paths,
+        )
+    except BaseException:
+        # a stage raised mid-pipeline: release scratch now instead of
+        # leaking it until interpreter exit (ADVICE r4)
+        _drop_scratch(_cleanup_paths)
+        raise
+
+
+def _resolve_stages(
+    spark, mentions, aliases, embeddings_kb, entities, origins,
+    cfg, catalog, cfg_d, _stage, _materialize_small, _cleanup_paths,
+) -> PipelineResult:
     surfaces = _materialize_small(extraction.distinct_mentions(mentions), "surfaces")
 
     candidates = _stage(

@@ -33,6 +33,10 @@ from pyspark.sql import functions as F
 from .plans import api as plan_api
 
 
+class _BadRequest(ValueError):
+    """Malformed client input — routed to a 400, never a 500."""
+
+
 def _mentions_payload(rows) -> list[dict]:
     return [
         {
@@ -163,9 +167,14 @@ def make_server(service: TResService, host: str = "127.0.0.1",
             length = int(self.headers.get("Content-Length") or 0)
             if length:
                 try:
-                    params.update(json.loads(self.rfile.read(length)))
+                    body = json.loads(self.rfile.read(length))
                 except (ValueError, UnicodeDecodeError):
-                    pass
+                    return params  # undecodable body: fall back to query params
+                # a parseable body that is not a JSON object (list/string/
+                # number) is a malformed request, not a server error
+                if not isinstance(body, dict):
+                    raise _BadRequest("request body must be a JSON object")
+                params.update(body)
             return params
 
         def _reply(self, obj, status: int = 200) -> None:
@@ -214,8 +223,15 @@ def make_server(service: TResService, host: str = "127.0.0.1",
                     self._reply(fn([str(t) for t in toponyms]))
                 else:
                     self._reply({"error": f"no such endpoint: {path}"}, 404)
-            except Exception as e:  # surface, don't kill the server
-                self._reply({"error": str(e)[:500]}, 500)
+            except _BadRequest as e:
+                self._reply({"error": str(e)}, 400)
+            except Exception:  # surface, don't kill the server; the
+                # body stays generic (no internal paths/details leak)
+                # and the real exception goes to the server log
+                import traceback
+
+                traceback.print_exc()
+                self._reply({"error": "internal server error"}, 500)
 
         do_GET = _route
         do_POST = _route

@@ -235,3 +235,30 @@ class TestFastPathParity:
         for mid in mids:
             t = f"London {mid} Paris"
             assert extract_mentions_fast(t) == extract_mentions_from_text(t), t
+
+
+def test_prefilter_unicode_parity(spark):
+    """ADVICE r4: the JVM RLIKE prefilter must keep every row the
+    Python kernel can extract a mention from. Full-BMP sweep: for each
+    Python-classified Lu char X the bigram 'Xa' must pass, and for
+    each Ll char y the bigram 'Ay' must pass. If either Unicode table
+    moves (newer Python, different JRE), this pinpoints the new delta
+    for extraction._JVM_DELTA_LU/_LL."""
+    import unicodedata
+
+    from t_res_spark.operators.extraction import PREFILTER_PATTERN
+
+    lu = [chr(c) for c in range(0x41, 0x10000)
+          if unicodedata.category(chr(c)) == "Lu"]
+    ll = [chr(c) for c in range(0x41, 0x10000)
+          if unicodedata.category(chr(c)) == "Ll"]
+    rows = [(f"lu:{ord(c):04x}", c + "a") for c in lu] + [
+        (f"ll:{ord(c):04x}", "A" + c) for c in ll
+    ]
+    df = spark.createDataFrame(rows, "k string, s string")
+    kept = {r.k for r in df.filter(df.s.rlike(PREFILTER_PATTERN)).collect()}
+    missing = sorted(k for k, _ in rows if k not in kept)
+    assert missing == [], (
+        f"JVM prefilter drops {len(missing)} kernel-extractable bigrams; "
+        f"update _JVM_DELTA_LU/_LL: {missing[:20]}"
+    )

@@ -88,3 +88,28 @@ def test_missing_params_and_unknown_route(server):
     assert status == 400 and "error" in body
     status, body = _get(f"{server}/nope")
     assert status == 404 and "error" in body
+
+
+def test_non_object_json_body_is_400(server):
+    """ADVICE r4: a body that parses to a JSON list/string/number must
+    be a 400 (malformed request), not a 500, and error bodies never
+    echo internals."""
+    status, body = _get(f"{server}/run_ner", ["not", "an", "object"])
+    assert status == 400
+    assert "JSON object" in body["error"]
+    # undecodable body falls back to query params → missing 'text' 400
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"{server}/run_ner",
+        data=b"\xff\xfe not json",
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            status, body = resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        status, body = e.code, json.loads(e.read())
+    assert status == 400 and "text" in body["error"]
