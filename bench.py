@@ -18,6 +18,8 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
+import statistics
 import sys
 import time
 
@@ -29,6 +31,47 @@ from pyspark.sql import functions as F
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 TURNS_FACTOR = int(os.environ.get("TRES_BENCH_TURNS_FACTOR", "16"))
+# noise robustness (VERDICT r4 #1): median-of-N per query, loadavg
+# stamped per sample, one extra sample when the spread says a neighbor
+# burst landed mid-measurement
+SAMPLES = int(os.environ.get("TRES_BENCH_SAMPLES", "3"))
+
+
+def _repin_self() -> None:
+    """Pin this process tree to exactly its core budget (taskset) —
+    the cgroup-limited-executor model, same doctrine as
+    tools/bench_scaling.py. An unpinned local[N] leg borrows idle
+    cores for python workers/GC and mis-states per-core throughput.
+    Re-exec happens once (marker env); disable with TRES_TASKSET=0."""
+    if os.environ.get("TRES_TASKSET", "1") == "0":
+        return
+    if os.environ.get("TRES_TASKSET_APPLIED") == "1":
+        return
+    if shutil.which("taskset") is None:
+        return
+    cpus = max(int(CPUS), 1)
+    env = dict(os.environ, TRES_TASKSET_APPLIED="1")
+    cores = f"0-{cpus - 1}" if cpus > 1 else "0"
+    os.execvpe(
+        "taskset", ["taskset", "-c", cores, sys.executable, *sys.argv], env
+    )
+
+
+# Queries excluded from the timed loop, WITH the reason logged to
+# stderr (no silent caps): timing a constructed micro-fixture measures
+# constants, not a plan; ctx_disambiguate is the corpus-scale
+# Python-kernel loop whose cost is dominated by n_loops x numpy inside
+# one Arrow batch per conversation — its plan shape is benched via the
+# ctx0/ctx1 corpus queries and its correctness via the oracle family.
+BENCH_EXCLUDE = {
+    "ctx10_fixpoint": "5-row constructed fixpoint fixture",
+    "j4b_jarowinkler": "golden-VALUES fixture",
+    "f4_ocr_variants": "golden-VALUES fixture",
+    "f5b_bydistance_op": "golden-VALUES fixture",
+    "ml2_bio_repair": "constructed tag-pattern fixture",
+    "s8_webanno": "literal WebAnno document fixture",
+    "ctx_disambiguate": "corpus 10-loop kernel; plan benched via ctx0/ctx1",
+}
 
 
 def derived_transcripts_amplified(spark: SparkSession, sf_dir: str, factor: int):
@@ -242,15 +285,27 @@ def bench_pipeline(spark: SparkSession, sf_dir: str) -> tuple[float, int, int, f
     # steady-state measurement: python workers initialized outside the
     # timed region (a long-lived cluster amortizes this to zero)
     warm_python_workers(spark)
-    t0 = time.time()
-    res = resolve(spark, transcripts, aliases, config=PipelineConfig())
-    n_clusters = res.clusters.count()
-    e2e = time.time() - t0
+    # best-of-2 with loadavg stamps: the first resolve also absorbs the
+    # one-off codegen/JIT cost of the pipeline's plan family; a
+    # long-lived cluster pays that once, so the steady-state sample is
+    # the representative one (same doctrine as the query loop)
+    runs = []
+    res = None
+    for _ in range(int(os.environ.get("TRES_BENCH_E2E_SAMPLES", "2"))):
+        if res is not None:
+            res.unpersist()
+        load = os.getloadavg()[0]
+        t0 = time.time()
+        res = resolve(spark, transcripts, aliases, config=PipelineConfig())
+        n_clusters = res.clusters.count()
+        runs.append((round(time.time() - t0, 3), round(load, 1)))
+    e2e = min(r[0] for r in runs)
     f1 = pipeline_pairwise_f1(res.clusters, TURNS_FACTOR)
-    return e2e, n_turns, n_clusters, f1
+    return e2e, n_turns, n_clusters, f1, runs
 
 
 def main() -> None:
+    _repin_self()
     import __spark_entry__ as entry_mod
     from t_res_spark.session import get_spark
 
@@ -299,39 +354,48 @@ def main() -> None:
     if os.environ.get("TRES_BENCH_PIPELINE_ONLY"):
         bench_queries = []
     else:
+        # DERIVED from queries() (VERDICT r4 #9): every gate query is
+        # benched by default; exclusions are explicit and logged.
         # d2 first: it is the query with a stated wall-clock target
         # (≤10 s, BENCH/BASELINE.md), and late-loop samples measure JVM
         # heap debris from earlier queries as much as the plan (observed
         # 8.7 s fresh vs 12.8 s late-session for the identical query —
-        # VERDICT r03 #6); the cheap broad-coverage queries follow.
-        bench_queries = [
-        "d2_minhash_clusters", "d1_exact_dedup", "d3_simhash",
-        "d3b_simhash_pairs", "j1_perfect_match", "j3_fuzzy_damlev",
-        "j3b_blocked_fuzzy", "a2_most_popular", "w1_top1_ties", "w2_top7",
-        "m4_edges_star", "t2_quality", "t3_token_counts",
-        "s6_embedding_topk", "ann_lsh_topk", "ann_ivf_topk",
-        "mm_media_features", "m1_parse_ingest", "j7_align_gold",
-        "er_clusters", "e2e_experiment",
-    ]
+        # VERDICT r03 #6); the rest follow in queries() order.
+        bench_queries = ["d2_minhash_clusters"] + [
+            n for n in qs if n not in BENCH_EXCLUDE and n != "d2_minhash_clusters"
+        ]
+        for n, why in BENCH_EXCLUDE.items():
+            print(f"[bench] excluded {n}: {why}", file=sys.stderr)
+    query_samples: dict[str, list] = {}
     for name in bench_queries:
-        # best-of-2: the sandbox box carries unpredictable ambient load;
-        # a single sample regularly mis-measures a query by 2-6x.
+        # median-of-N with per-sample loadavg stamps (VERDICT r4 #1):
+        # the sandbox box carries unpredictable ambient neighbor load —
+        # r4's driver record read d2 at 23.5 s where steady state
+        # measures ~7 s. A median resists one polluted sample; the
+        # stamps make any residual outlier self-documenting; when the
+        # spread still looks burst-polluted (max > 2x min) one extra
+        # sample is taken before the median.
         # count() forces the full plan without driver-side collect volume.
-        best = None
-        for _ in range(2):
+        samples: list[tuple[float, float]] = []
+        for i in range(SAMPLES + 1):
+            if i == SAMPLES and max(s[0] for s in samples) <= 2 * min(
+                s[0] for s in samples
+            ):
+                break
+            load = os.getloadavg()[0]
             t0 = time.time()
             qs[name](spark, SF_DIR).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        per_query[name] = round(best, 3)
-        # drop cached relations + references accumulated by earlier
-        # queries (localCheckpoint RDDs, broadcast vars): without this,
-        # late-session queries measure JVM heap/GC pressure, not their
-        # plans (observed 11s -> 30s for the same query late in a run)
-        spark.catalog.clearCache()
-        import gc
+            samples.append((round(time.time() - t0, 3), round(load, 1)))
+            # drop cached relations + references accumulated by earlier
+            # queries (localCheckpoint RDDs, broadcast vars): without
+            # this, late-session queries measure JVM heap/GC pressure,
+            # not their plans (observed 11s -> 30s late in a run)
+            spark.catalog.clearCache()
+            import gc
 
-        gc.collect()
+            gc.collect()
+        per_query[name] = round(statistics.median(s[0] for s in samples), 3)
+        query_samples[name] = [list(s) for s in samples]
 
     scaling = (
         {} if os.environ.get("TRES_BENCH_PIPELINE_ONLY")
@@ -342,8 +406,9 @@ def main() -> None:
 
     _gc.collect()
 
-    e2e_sec, n_turns, n_clusters, pair_f1 = bench_pipeline(spark, SF_DIR)
+    e2e_sec, n_turns, n_clusters, pair_f1, e2e_runs = bench_pipeline(spark, SF_DIR)
     per_query["er_pipeline_e2e"] = round(e2e_sec, 3)
+    query_samples["er_pipeline_e2e"] = [list(r) for r in e2e_runs]
 
     print(
         json.dumps(
@@ -359,6 +424,11 @@ def main() -> None:
                 "pairwise_f1": pair_f1,
                 "corpus_scaling": scaling,
                 "cpus": int(CPUS),
+                # per-sample [seconds, loadavg_1m_at_start] stamps:
+                # outliers from ambient neighbor load are
+                # self-documenting (VERDICT r4 #1)
+                "query_samples": query_samples,
+                "pinned": os.environ.get("TRES_TASKSET_APPLIED") == "1",
             }
         )
     )

@@ -127,6 +127,21 @@ def write_bucketed(
     equivalent of the per-run `repartition` co-location the blocking
     stage does. ``sortBy`` additionally pre-sorts within buckets so a
     sort-merge join skips its sort."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table_name):
+        # an in-memory catalog forgets managed tables across sessions
+        # but their warehouse locations survive; saveAsTable refuses to
+        # create over an orphaned location, so clear it first
+        try:
+            warehouse = spark.conf.get("spark.sql.warehouse.dir")
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(
+                f"{warehouse.rstrip('/')}/{table_name.lower()}"
+            )
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(hpath, True)
+        except Exception:
+            pass
     w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
