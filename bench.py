@@ -248,13 +248,20 @@ def bench_family_scaling(spark: SparkSession, sf_dir: str) -> dict:
     for name, fn in (("d2_minhash_clusters", d2), ("d3b_simhash_pairs", d3b),
                      ("ann_lsh_topk", ann)):
         times = {}
+        samples_rec = {}
         for k in (1, 4):
-            best = None
-            for _ in range(2):  # best-of-2: ambient-load noise
+            # best-of-3 with loadavg stamps: the exponent is a RATIO of
+            # two legs, so one neighbor burst mid-leg (measured: the
+            # identical 4x leg reads 8.8 s at loadavg 4 and 27 s at
+            # loadavg 15) poisons it multiplicatively. Under one-sided
+            # additive noise the MIN is the steady-state estimator;
+            # the stamps make any residual pollution self-documenting.
+            samples: list[tuple[float, float]] = []
+            for _ in range(3):
+                load = os.getloadavg()[0]
                 t0 = time.time()
                 fn(k).count()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
+                samples.append((round(time.time() - t0, 3), round(load, 1)))
                 # same cleanup discipline as the main query loop:
                 # clearCache alone does not release localCheckpoint
                 # RDD blocks/broadcasts, and the 4x legs always run
@@ -264,11 +271,14 @@ def bench_family_scaling(spark: SparkSession, sf_dir: str) -> dict:
                 import gc
 
                 gc.collect()
-            times[k] = round(best, 3)
+            times[k] = min(s[0] for s in samples)
+            samples_rec[k] = [list(s) for s in samples]
         out[name] = {
             "t_1x": times[1],
             "t_4x": times[4],
             "exponent": round(math.log(times[4] / times[1]) / math.log(4), 3),
+            "samples_1x": samples_rec[1],
+            "samples_4x": samples_rec[4],
         }
     return out
 

@@ -301,6 +301,20 @@ def context_disambiguate(
     def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _conv_coherence(pdf, n_loops=n_loops, round_dp=round_dp)
 
-    return rows.groupBy("conv_id").applyInPandas(
-        _fn, schema=CONTEXT_OUT_SCHEMA
+    # Pin the group distribution with an EXPLICIT-N repartition: AQE's
+    # bytes-based partition coalescing sees a few MB of shuffle input
+    # and collapses the stage to ~1 partition, serializing every
+    # per-conversation Arrow group-call onto one core (measured at
+    # 15k mentions / 1.5k convs: 9.6 s coalesced vs 2.5 s pinned —
+    # byte counts say nothing about Python-side cost). A
+    # REPARTITION_BY_NUM exchange is exempt from AQE coalescing and
+    # already satisfies the groupBy's required distribution, so no
+    # second exchange is added; at target scale the conf-driven N is
+    # the tuned shuffle width anyway.
+    spark = rows.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        rows.repartition(n_part, "conv_id")
+        .groupBy("conv_id")
+        .applyInPandas(_fn, schema=CONTEXT_OUT_SCHEMA)
     )
