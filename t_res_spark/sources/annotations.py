@@ -312,6 +312,13 @@ def parse_hipe(lines: DataFrame) -> DataFrame:
             columns=[f.name for f in HIPE_OUT_SCHEMA.fields],
         )
 
-    return toklines.select("article_id", "line_no", "line").groupBy(
-        "article_id"
-    ).applyInPandas(_per_doc, schema=HIPE_OUT_SCHEMA)
+    # explicit-N repartition: exempt from AQE partition coalescing —
+    # see bio.repair_and_aggregate / context.context_disambiguate for
+    # the measured pathology (group-call serialization onto one core)
+    sel = toklines.select("article_id", "line_no", "line")
+    n_part = int(sel.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        sel.repartition(n_part, "article_id")
+        .groupBy("article_id")
+        .applyInPandas(_per_doc, schema=HIPE_OUT_SCHEMA)
+    )
