@@ -78,8 +78,15 @@ def run_text(
     """One text → list of mention dicts in the reference's README
     shape: mention, ner_score, pos, sent_idx, end_pos, tag, sentence,
     prediction, ed_score, string_match_score, prior_cand_score,
-    cross_cand_score, latlon, wkdt_class."""
-    from ..operators.extraction import extract_mentions
+    cross_cand_score, latlon, wkdt_class.
+
+    Script-agnostic like the reference's model NER (r5): the cased
+    rule tagger is unioned with the gazetteer-anchored uncased tagger,
+    using the alias KB itself as the gazetteer — a CJK/Arabic/Hebrew
+    toponym present in the KB is tagged and linked exactly like a
+    cased one. On an all-cased KB the uncased branch is empty by
+    construction and the output is unchanged."""
+    from ..operators.gazetteer import extract_mentions_full
     from ..operators.linking import NIL, link_mentions, most_popular
     from ..operators.ranking import find_candidates
 
@@ -89,7 +96,7 @@ def run_text(
         "conv_id string, turn_idx int, role string, text string, "
         "tool string, ts timestamp",
     )
-    mentions = extract_mentions(transcripts)
+    mentions = extract_mentions_full(transcripts, aliases, alias_col="alias")
     surfaces = mentions.select("mention").distinct()
     candidates = find_candidates(
         surfaces, aliases, method=ranking_method, threshold=threshold, top_k=top_k

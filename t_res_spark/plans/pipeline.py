@@ -287,9 +287,21 @@ def resolve(
             return df
         return catalog.materialize(thunk, name, cfg_d)
 
-    mentions = _stage(
-        "mentions", lambda: extraction.extract_mentions(transcripts), persist=True
-    )
+    def _extract():
+        # opt-in script-agnostic extraction (r5): union the cased rule
+        # tagger with the gazetteer-anchored uncased tagger, the alias
+        # KB serving as the gazetteer. Flag-gated (not default) for
+        # batch cost discipline: the uncased branch adds a second
+        # corpus pass whose scan prefilter (\p{Lo}) prunes it to
+        # nothing on latin corpora, but a 10^12-turn run should not
+        # pay even the scan unless the corpus warrants it.
+        if cfg.extra.get("uncased_gazetteer"):
+            from ..operators.gazetteer import extract_mentions_full
+
+            return extract_mentions_full(transcripts, aliases, alias_col="alias")
+        return extraction.extract_mentions(transcripts)
+
+    mentions = _stage("mentions", _extract, persist=True)
 
     # Materialize the tiny distinct-surface table eagerly TO PARQUET:
     # the candidate stage references it three times (exact / missed

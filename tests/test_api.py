@@ -71,3 +71,57 @@ def test_run_text_reference_shape(spark):
     bath = out[1]
     assert bath["sent_idx"] == 1 and bath["prediction"] == "Q22889"
     assert bath["prior_cand_score"] == {"Q22889": 1.0}
+
+
+def test_run_text_uncased_script(spark):
+    """r5 — run_text is script-agnostic: a CJK toponym in the alias KB
+    is tagged (gazetteer-anchored) and linked like a cased one, in the
+    same reference dict shape; the cased path is untouched."""
+    from t_res_spark.plans.api import run_text
+
+    aliases = spark.createDataFrame(
+        [
+            ("Bath", "Q22889", 1.0, 9000.0),
+            ("東京", "Q1490", 1.0, 9500.0),
+        ],
+        "alias string, qid string, relv double, abs_relv double",
+    )
+    text = "Then to Bath today. 昨日は東京に行きました。"
+    out = run_text(spark, text, aliases)
+    by_mention = {d["mention"]: d for d in out}
+    assert set(by_mention) == {"Bath", "東京"}
+    tokyo = by_mention["東京"]
+    assert tokyo["prediction"] == "Q1490"
+    # offsets are sentence-relative (pos within its sentence)
+    sent = tokyo["sentence"]
+    assert sent[tokyo["pos"] : tokyo["end_pos"]] == "東京"
+    assert tokyo["tag"] == "LOC" and 0.9 <= tokyo["ner_score"] <= 0.99
+
+
+def test_resolve_uncased_gazetteer_flag(spark):
+    """r5 — the batch pipeline resolves uncased-script mentions when
+    the uncased_gazetteer flag is set; off by default."""
+    from t_res_spark.plans.pipeline import PipelineConfig, resolve
+
+    transcripts = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "we saw Tarvik today", None, None),
+            ("c1", 1, "user", "昨日は東京に行きました", None, None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    aliases = spark.createDataFrame(
+        [("Tarvik", "E1", 0.875, 1000.0), ("東京", "E9", 1.0, 9500.0)],
+        "alias string, qid string, relv double, abs_relv double",
+    )
+    off = resolve(spark, transcripts, aliases, config=PipelineConfig())
+    assert {r["prediction"] for r in off.clusters.collect()} == {"E1"}
+    on = resolve(
+        spark, transcripts, aliases,
+        config=PipelineConfig(extra={"uncased_gazetteer": True}),
+    )
+    got = {r["mention"]: r["prediction"] for r in on.clusters.collect()}
+    assert got == {"Tarvik": "E1", "東京": "E9"}
+    off.unpersist()
+    on.unpersist()
