@@ -32,6 +32,15 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        # Normalize physical width before comparison: Spark hands back
+        # int32/float32 where DuckDB uses int64/float64, and pandas
+        # .equals() is dtype-strict — without this, equal values record
+        # hash_match=False (the bug behind the r5 artifact's six
+        # false "mismatch" rows).
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -105,6 +114,13 @@ def main() -> int:
                     i = bad_rows.idxmax()
                     problems.append(
                         f"values differ at canon row {i}:\n  spark={a.loc[i].to_dict()}\n  duck ={b.loc[i].to_dict()}"
+                    )
+                else:
+                    # equals() strict-failed with no differing cell
+                    # (residual dtype/index artifact) — still a failure
+                    # so console and JSON can never disagree.
+                    problems.append(
+                        f"equals() false with no differing cell; dtypes spark={a.dtypes.to_dict()} duck={b.dtypes.to_dict()}"
                     )
         rec["elapsed_s"] = round(time.time() - t0, 1)
         if problems:
