@@ -28,12 +28,31 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+def _codegen_spans(df) -> int:
+    """Count DISTINCT whole-stage-codegen regions. Under AQE the
+    pre-execution formatted plan is the NON-final AdaptiveSparkPlan,
+    which carries no ``codegen id`` annotations (they appear only per
+    executed stage) — counting on it silently reads 0 for every query.
+    Re-explain with AQE off for this metric only; join/exchange counts
+    stay on the production (AQE) plan above."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # the audit's first explain already cached this df's
+        # QueryExecution (with the AQE wrapper); wrap in a trivial
+        # Project so a FRESH execution is planned under AQE-off — the
+        # Project collapses away in optimization
+        p = plan_of(df.select("*"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    return len(set(re.findall(r"codegen id : (\d+)", p)))
+
+
 def audit(name: str, df) -> None:
     p = plan_of(df)
     n_exchange = len(re.findall(r"\bExchange\b", p))
-    # formatted mode tags codegen'd operators with "[codegen id : N]";
-    # count DISTINCT codegen regions (the spans we want wide)
-    n_codegen = len(set(re.findall(r"codegen id : (\d+)", p)))
+    n_codegen = _codegen_spans(df)
     bhj = len(re.findall(r"BroadcastHashJoin", p))
     smj = len(re.findall(r"SortMergeJoin", p))
     shj = len(re.findall(r"ShuffledHashJoin", p))
