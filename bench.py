@@ -71,6 +71,10 @@ BENCH_EXCLUDE = {
     "ml2_bio_repair": "constructed tag-pattern fixture",
     "s8_webanno": "literal WebAnno document fixture",
     "ctx_disambiguate": "corpus 10-loop kernel; plan benched via ctx0/ctx1",
+    "t5_fingerprint": "golden-VALUES fixture (9 rows)",
+    "er_stream_replay": "streaming replay of the er_pipeline corpus/plan; "
+    "batch throughput is the e2e headline, micro-batch trigger overhead "
+    "would dominate a 3-sample timing",
 }
 
 
