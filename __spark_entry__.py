@@ -1646,10 +1646,15 @@ def _ctx1_oracle_sql(round_out: bool = True) -> str:
                      0.5 * prior + (0.5 * (prior + coher)) / 2.0 AS s1
               FROM scored
             )
+            -- final ranking mirrors the kernel's quantized argmax
+            -- (_qkey, half-up 1e-9 cells): exact-rational score ties
+            -- DO occur (both candidates at exactly 0.5 at sf0.1) and
+            -- must break by qid order on both engines, not ulp noise
             {"SELECT conv_id, mention_id, mention, qid AS prediction, "
              "round(s1, 3) AS link_score "
              "FROM (SELECT *, row_number() OVER (PARTITION BY mention_id "
-             "ORDER BY s1 DESC, qid ASC) AS rn FROM upd) WHERE rn = 1"
+             "ORDER BY CAST(floor(s1 * 1e9 + 0.5) AS BIGINT) DESC, "
+             "qid ASC) AS rn FROM upd) WHERE rn = 1"
              if round_out else
              "SELECT conv_id, mention_id, mention, qid, s1 FROM upd"}
         """

@@ -77,6 +77,21 @@ def with_conversation_prior(
     ).withColumn("is_prior", F.lit(False)).unionByName(anchors)
 
 
+def _qkey(s: np.ndarray) -> np.ndarray:
+    """Quantized argmax key: half-up 1e-9 cells (scores are
+    non-negative). The coherence recursion produces structurally EXACT
+    rational ties — e.g. prior 2/3 vs 1/3 against coherence 1/3 vs 2/3
+    both update to exactly 0.5 — where the two engines' (and two
+    runs') non-associative float sums land a few ulp apart, flipping a
+    raw argmax either way. Quantizing collapses sub-1e-9 noise into
+    the same cell so the tie-break is the deterministic candidate
+    order (qid ascending — the lists are qid-sorted), which the DuckDB
+    oracle mirrors as ORDER BY floor(s*1e9 + 0.5) DESC, qid ASC.
+    Genuine margins are far coarser (the sf0.1 audit's smallest
+    non-tie argmax margin is > 1e-6), so no real decision moves."""
+    return np.floor(s * 1e9 + 0.5)
+
+
 def _conv_coherence(
     pdf: pd.DataFrame, n_loops: int = N_LOOPS, round_dp: int | None = 3
 ) -> pd.DataFrame:
@@ -125,7 +140,7 @@ def _conv_coherence(
                         (i for i, (q, _, _) in enumerate(cands) if q == pinned[mid]), 0
                     )
                 else:
-                    idx = int(np.argmax(scores[mid]))
+                    idx = int(np.argmax(_qkey(scores[mid])))
                 best_emb[mid] = cands[idx][2]
             new_scores = {}
             for mid, cands in cand.items():
@@ -168,7 +183,7 @@ def _conv_coherence(
             cands = cand[mid]
             if mid in pinned:
                 continue  # drop anchor rows from output (U4 pop)
-            idx = int(np.argmax(scores[mid]))
+            idx = int(np.argmax(_qkey(scores[mid])))
             final = float(scores[mid][idx])
             out_rows.append(
                 (
