@@ -313,7 +313,9 @@ def ann_margin_audit(bits: int = 8, tables: int = 4, seed: int = 42) -> None:
 
     from t_res_spark.operators.similarity_search import _hyperplanes
 
-    for sf in ("0.001", "0.01"):
+    # sf0.1 included after the ctx1 exact-tie lesson (round 5): the
+    # audited-margin doctrine is only as good as the scales it audits
+    for sf in ("0.001", "0.01", "0.1"):
         emb = pd.read_parquet(f"/root/testdata/sf{sf}/embeddings.parquet")
         V = np.array([np.array(list(v), dtype=np.float64)
                       for v in emb["embedding"]])
