@@ -1575,19 +1575,63 @@ def q_ctx1_one_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("link_score", F.round("link_score", 3))
 
 
-def _ctx1_oracle_sql(round_out: bool = True) -> str:
-    """Full DuckDB recomputation of the one-loop damped coherence
-    update over the gate corpus (see q_ctx1_one_loop).
-    ``round_out=False`` emits the raw IEEE s1 instead of the rounded
-    link_score — the margins audit (tests/test_ctx1_margins.py) uses
-    it to measure the true cross-engine float delta."""
+def q_ctx10_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML5 oracle slice #3 (round 5): the FULL 10-loop damped coherence
+    recursion (the engine's default depth — mulrel_ranker.py:403
+    n_loops=10, :421 df=0.5) on the GATE CORPUS, value-exact. The
+    oracle unrolls the loop body ten times as chained DuckDB CTEs
+    (_ctx_loops_oracle_sql) — nothing about the recursion is
+    assumed, every iteration's quantized argmax, leave-one-out
+    conversation mean, cosine and damped update is recomputed. This
+    subsumes the ctx1 one-loop slice and closes the bracket around the
+    corpus-scale ``ctx_disambiguate`` run: the same kernel code path
+    at the same depth on the same corpus shape is now oracle-exact;
+    the rows-only residual is solely the larger candidate table +
+    prerank (both oracle-covered elsewhere: ctx0/a5 and ctx10_fixpoint).
+    Rounding query-side with HALF_UP F.round, same rationale as
+    q_ctx1_one_loop. Cross-engine float safety: ten loops of damping
+    halve old-state drift each iteration, so accumulated divergence
+    stays ~1e-13 (measured in tests/test_ctx10_margins.py) — orders
+    below the 1e-9 argmax quantization cell and every rounding
+    boundary."""
+    from t_res_spark.operators.context import context_disambiguate
+
+    _register(spark, sf_dir)
+    mentions = spark.sql(CTX_MENTIONS_SQL)
+    cands = spark.sql(CTX_CANDS_SQL)
+    out = context_disambiguate(
+        mentions, cands, prerank=False, n_loops=10, round_dp=None
+    )
+    return out.withColumn("link_score", F.round("link_score", 3))
+
+
+def _ctx_loops_oracle_sql(n_loops: int, round_out: bool = True) -> str:
+    """Full DuckDB recomputation of the n-loop damped coherence
+    recursion over the gate corpus — the loop body (quantized-argmax
+    best embedding → leave-one-out conversation mean → cosine →
+    damped update, mulrel_ranker.py:403-421) UNROLLED ``n_loops``
+    times as chained CTEs. ``n_loops=1`` is the ctx1 oracle;
+    ``n_loops=10`` recomputes the engine's FULL default recursion
+    depth on the gate corpus (q_ctx10_corpus). ``round_out=False``
+    emits every candidate's raw IEEE score (column ``s``) instead of
+    the ranked winners — the margins audits
+    (tests/test_ctx1_margins.py, tests/test_ctx10_margins.py) use it
+    to measure the true cross-engine float delta.
+
+    Every intermediate argmax mirrors the kernel's ``_qkey``
+    quantization (half-up 1e-9 cells, qid-ascending tie-break):
+    exact-rational score ties DO occur mid-recursion (both candidates
+    at exactly 0.5 at sf0.1) and must break by candidate order on
+    both engines, never by ulp noise. Each state CTE is MATERIALIZED
+    — st{{t}} is referenced twice per loop (argmax + update) and
+    inlining would double the tree per level."""
     from t_res_spark.datagen import EMB_DIM, hashed_ngram_embedding
 
     emb_rows = _fmt_plane_rows(
         (f"'Q{i}'", hashed_ngram_embedding(f"Q{i}", EMB_DIM).astype("float64"))
         for i in range(25)
     )
-    return f"""
+    parts = [f"""
             WITH emb(qid, e) AS (VALUES
               {emb_rows}
             ), cand AS (
@@ -1599,65 +1643,73 @@ def _ctx1_oracle_sql(round_out: bool = True) -> str:
                        AS prior
               FROM cand
             ), men AS ({CTX_MENTIONS_SQL}),
-            rows_ AS (
-              SELECT m.conv_id, m.mention_id, m.mention, p.qid, p.prior, e.e
+            st0 AS MATERIALIZED (
+              -- loop state t=0: score == normalized prior
+              SELECT m.conv_id, m.mention_id, m.mention, p.qid, p.prior,
+                     e.e, p.prior AS s
               FROM men m
               JOIN pri p USING (mention)
               JOIN emb e USING (qid)
-            ), best AS (
-              -- argmax(prior) per mention, first-in-qid-order on ties
-              -- (numpy argmax over the qid-sorted candidate list)
+            )"""]
+    for t in range(n_loops):
+        parts.append(f""", best{t} AS (
+              -- kernel's quantized argmax (_qkey): half-up 1e-9 cells,
+              -- first-in-qid-order on cell ties
               SELECT conv_id, mention_id, e AS be FROM (
                 SELECT conv_id, mention_id, e,
                        row_number() OVER (PARTITION BY mention_id
-                                          ORDER BY prior DESC, qid ASC) AS rn
-                FROM rows_
+                                          ORDER BY CAST(floor(s * 1e9 + 0.5)
+                                                        AS BIGINT) DESC,
+                                                   qid ASC) AS rn
+                FROM st{t}
               ) WHERE rn = 1
-            ), bu AS (
+            ), bu{t} AS MATERIALIZED (
               SELECT conv_id, mention_id, CAST(r.range AS INT) AS dim,
                      be[CAST(r.range AS INT)] AS x
-              FROM best, range(1, {EMB_DIM + 1}) r
-            ), csum AS (
+              FROM best{t}, range(1, {EMB_DIM + 1}) r
+            ), csum{t} AS (
               SELECT conv_id, dim, sum(x) AS sx, count(*) AS n
-              FROM bu GROUP BY conv_id, dim
-            ), ctxv AS (
+              FROM bu{t} GROUP BY conv_id, dim
+            ), ctxv{t} AS (
               -- mean of the OTHER mentions' best embeddings =
               -- (conv sum - own)/(n-1); zero vector for singleton convs
-              SELECT bu.conv_id, bu.mention_id,
-                     list(CASE WHEN csum.n > 1
-                               THEN (csum.sx - bu.x) / (csum.n - 1)
+              SELECT bu{t}.conv_id, bu{t}.mention_id,
+                     list(CASE WHEN csum{t}.n > 1
+                               THEN (csum{t}.sx - bu{t}.x) / (csum{t}.n - 1)
                                ELSE CAST(0.0 AS DOUBLE) END
-                          ORDER BY bu.dim) AS ctx
-              FROM bu JOIN csum
-                ON bu.conv_id = csum.conv_id AND bu.dim = csum.dim
-              GROUP BY bu.conv_id, bu.mention_id
-            ), scored AS (
+                          ORDER BY bu{t}.dim) AS ctx
+              FROM bu{t} JOIN csum{t}
+                ON bu{t}.conv_id = csum{t}.conv_id
+               AND bu{t}.dim = csum{t}.dim
+              GROUP BY bu{t}.conv_id, bu{t}.mention_id
+            ), st{t + 1} AS MATERIALIZED (
               SELECT r.conv_id, r.mention_id, r.mention, r.qid, r.prior,
-                     CASE WHEN sqrt(list_dot_product(cv.ctx, cv.ctx)) = 0
-                          THEN CAST(0.0 AS DOUBLE)
-                          ELSE list_dot_product(r.e, cv.ctx)
-                               / (greatest(sqrt(list_dot_product(r.e, r.e)),
-                                           1e-12)
-                                  * sqrt(list_dot_product(cv.ctx, cv.ctx)))
-                     END AS coher
-              FROM rows_ r JOIN ctxv cv USING (conv_id, mention_id)
-            ), upd AS (
-              SELECT conv_id, mention_id, mention, qid,
-                     0.5 * prior + (0.5 * (prior + coher)) / 2.0 AS s1
-              FROM scored
-            )
-            -- final ranking mirrors the kernel's quantized argmax
-            -- (_qkey, half-up 1e-9 cells): exact-rational score ties
-            -- DO occur (both candidates at exactly 0.5 at sf0.1) and
-            -- must break by qid order on both engines, not ulp noise
-            {"SELECT conv_id, mention_id, mention, qid AS prediction, "
-             "round(s1, 3) AS link_score "
-             "FROM (SELECT *, row_number() OVER (PARTITION BY mention_id "
-             "ORDER BY CAST(floor(s1 * 1e9 + 0.5) AS BIGINT) DESC, "
-             "qid ASC) AS rn FROM upd) WHERE rn = 1"
+                     r.e,
+                     0.5 * r.s + (0.5 * (r.prior
+                       + CASE WHEN sqrt(list_dot_product(cv.ctx, cv.ctx)) = 0
+                              THEN CAST(0.0 AS DOUBLE)
+                              ELSE list_dot_product(r.e, cv.ctx)
+                                   / (greatest(sqrt(list_dot_product(r.e, r.e)),
+                                               1e-12)
+                                      * sqrt(list_dot_product(cv.ctx, cv.ctx)))
+                         END)) / 2.0 AS s
+              FROM st{t} r JOIN ctxv{t} cv USING (conv_id, mention_id)
+            )""")
+    fin = f"st{n_loops}"
+    parts.append(f"""
+            {f"SELECT conv_id, mention_id, mention, qid AS prediction, "
+             f"round(s, 3) AS link_score "
+             f"FROM (SELECT *, row_number() OVER (PARTITION BY mention_id "
+             f"ORDER BY CAST(floor(s * 1e9 + 0.5) AS BIGINT) DESC, "
+             f"qid ASC) AS rn FROM {fin}) WHERE rn = 1"
              if round_out else
-             "SELECT conv_id, mention_id, mention, qid, s1 FROM upd"}
-        """
+             f"SELECT conv_id, mention_id, mention, qid, s FROM {fin}"}
+        """)
+    return "".join(parts)
+
+
+def _ctx1_oracle_sql(round_out: bool = True) -> str:
+    return _ctx_loops_oracle_sql(1, round_out=round_out)
 
 
 # ---------------------------------------------------------------------------
@@ -1870,7 +1922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_clusters": q_er_clusters,
         "er_pipeline": q_er_pipeline,
         "ctx0_prior_argmax": q_ctx0_prior_argmax,
-        "ctx1_one_loop": q_ctx1_one_loop,
+        "ctx10_corpus": q_ctx10_corpus,
         "ctx10_fixpoint": q_ctx10_fixpoint,
         "g1_uncased_gazetteer": q_g1_uncased_gazetteer,
         "d2_minhash_clusters": q_d2_minhash_clusters,
@@ -1889,10 +1941,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # above holds every query whose ONLY oracle evidence is the
         # driver report, while these three are redundantly covered:
         # ctx_disambiguate is rows-only by necessity (bracketed by the
-        # oracle-exact ctx0/ctx1/ctx10 family), s9_tokens shares the
-        # S9 parser with the in-window s9_mentions, f5b shares the F5
-        # operator with the in-window f5_bydistance.
+        # oracle-exact ctx0/ctx10_corpus/ctx10_fixpoint family),
+        # ctx1_one_loop is SUBSUMED by the in-window ctx10_corpus
+        # (same corpus, same unrolled-oracle generator, depth 1 vs 10),
+        # s9_tokens shares the S9 parser with the in-window
+        # s9_mentions, f5b shares the F5 operator with the in-window
+        # f5_bydistance.
         "ctx_disambiguate": q_ctx_disambiguate,
+        "ctx1_one_loop": q_ctx1_one_loop,
         "s9_tokens": q_s9_tokens,
         "f5b_bydistance_op": q_f5b_bydistance_op,
         # streaming replay: oracle evidence = full-gate artifact + the
@@ -2041,6 +2097,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "ann_ivf_topk": _ann_ivf_oracle_sql(),
         "ctx1_one_loop": _ctx1_oracle_sql(),
+        "ctx10_corpus": _ctx_loops_oracle_sql(10),
         "g1_uncased_gazetteer": _g1_oracle_sql(),
         "s2_alias_filter": """
             SELECT alias, qid FROM (

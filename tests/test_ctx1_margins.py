@@ -60,7 +60,7 @@ def _is_exact_rational(x: float, denom_bits: int = 14) -> bool:
 def test_cross_engine_delta_and_margins(engines):
     winners, raw = engines
     # winner score per mention from the duck side (same tie order)
-    raw = raw.sort_values(["mention_id", "s1", "qid"],
+    raw = raw.sort_values(["mention_id", "s", "qid"],
                           ascending=[True, False, True], kind="stable")
     top = raw.groupby("mention_id", sort=True).nth(0).reset_index()
     second = raw.groupby("mention_id", sort=True).nth(1).reset_index()
@@ -74,7 +74,7 @@ def test_cross_engine_delta_and_margins(engines):
         assert eng.loc[mid, "prediction"] == duck.loc[mid, "qid"], (
             f"argmax disagrees for {mid}"
         )
-        d = abs(float(eng.loc[mid, "link_score"]) - float(duck.loc[mid, "s1"]))
+        d = abs(float(eng.loc[mid, "link_score"]) - float(duck.loc[mid, "s"]))
         max_delta = max(max_delta, d)
     assert max_delta < 1e-9, f"cross-engine delta {max_delta} too large"
 
@@ -82,7 +82,7 @@ def test_cross_engine_delta_and_margins(engines):
     # far from a .0005 boundary relative to the measured delta
     close = []
     for mid in duck.index:
-        s = float(duck.loc[mid, "s1"])
+        s = float(duck.loc[mid, "s"])
         if _is_exact_rational(s):
             # exact case: both engines must hold the identical double
             assert float(eng.loc[mid, "link_score"]) == s
@@ -112,9 +112,9 @@ def test_cross_engine_delta_and_margins(engines):
     # argmax in one engine only.
     sec = second.set_index("mention_id")
     margins = [
-        float(duck.loc[mid, "s1"]) - float(sec.loc[mid, "s1"])
+        float(duck.loc[mid, "s"]) - float(sec.loc[mid, "s"])
         for mid in sec.index
-        if not math.isnan(sec.loc[mid, "s1"])
+        if not math.isnan(sec.loc[mid, "s"])
     ]
     nonzero = [m for m in margins if m != 0.0]
     assert nonzero and min(nonzero) > 1e-6, (
@@ -122,7 +122,7 @@ def test_cross_engine_delta_and_margins(engines):
     )
     # exact ties must be bit-exact ties on the spark side too
     for mid in sec.index:
-        if not math.isnan(sec.loc[mid, "s1"]) and (
-            float(duck.loc[mid, "s1"]) == float(sec.loc[mid, "s1"])
+        if not math.isnan(sec.loc[mid, "s"]) and (
+            float(duck.loc[mid, "s"]) == float(sec.loc[mid, "s"])
         ):
-            assert float(eng.loc[mid, "link_score"]) == float(duck.loc[mid, "s1"])
+            assert float(eng.loc[mid, "link_score"]) == float(duck.loc[mid, "s"])
