@@ -807,20 +807,30 @@ def _assert_er_fixture(spark: SparkSession, sf_dir: str) -> None:
     regeneration fails loudly instead."""
     if sf_dir in _ER_FIXTURE_OK:
         return
+    # explicit raises, not assert: the guard's whole job is to fail
+    # loudly on a regenerated fixture, and `python -O` strips asserts
     mn = spark.sql("SELECT min(length(text)) AS mn FROM documents").first().mn
-    assert mn is not None and mn >= 41, (
-        f"er_pipeline oracle requires len(text) >= 41 for every document; "
-        f"fixture min is {mn}"
-    )
+    if mn is None or mn < 41:
+        raise ValueError(
+            f"er_pipeline oracle requires len(text) >= 41 for every "
+            f"document; fixture min is {mn}"
+        )
+    # the planted surface is Titlecase(lower(n_name)); extraction's
+    # _CAP_TOKEN is [Lu][Ll][\w'’-]* — so the SECOND char must be
+    # alphabetic (a digit/underscore there would break the [Lu][Ll]
+    # anchor and extract nothing), and the tail must be word chars
     bad = (
         spark.table("nation")
-        .filter(~F.col("n_name").rlike("^[A-Za-z][A-Za-z0-9_]+$"))
+        .filter(~F.col("n_name").rlike("^[A-Za-z][A-Za-z][A-Za-z0-9_]*$"))
         .count()
     )
-    assert bad == 0, (
-        "er_pipeline oracle requires single-token nation names "
-        "(no spaces/punctuation) so the planted surface extracts whole"
-    )
+    if bad:
+        raise ValueError(
+            "er_pipeline oracle requires nation names shaped like a "
+            "single extractable proper-noun token (alpha first TWO "
+            "chars, then word chars; no spaces/punctuation) — "
+            f"{bad} rows violate this"
+        )
     _ER_FIXTURE_OK.add(sf_dir)
 
 
@@ -980,6 +990,8 @@ def q_er_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py + test_properties.py streaming/batch
     equivalence. Reference has no streaming surface (SURVEY §2.10);
     this is the engine's forward-looking extension."""
+    import atexit
+    import shutil
     import tempfile
 
     from pyspark.sql import Window
@@ -991,11 +1003,14 @@ def q_er_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcripts = _derived_transcripts(spark, sf_dir)
     aliases = _derived_aliases(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="er_stream_gate_")
+    # state_dir outlives this function (the returned DataFrame reads
+    # clusters/ lazily — the driver collects after return), so its
+    # removal is an interpreter-exit hook; in_dir is dead the moment
+    # the stream drains and is dropped right there
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     in_dir = os.path.join(base, "in")
     state_dir = os.path.join(base, "state")
-    # 24 input files → 3 micro-batches at maxFilesPerTrigger=8; the
-    # output parquet under state_dir stays on disk (the returned
-    # DataFrame reads from it lazily — the driver collects after return)
+    # 24 input files → 3 micro-batches at maxFilesPerTrigger=8
     transcripts.repartition(24).write.mode("overwrite").parquet(in_dir)
     resolver = IncrementalResolver(spark, aliases, state_dir)
     q = resolver.start(stream_transcripts(spark, in_dir))
@@ -1003,6 +1018,7 @@ def q_er_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise RuntimeError("er_stream_replay: stream did not drain in 600s")
     out = spark.read.parquet(os.path.join(state_dir, "clusters"))
+    shutil.rmtree(in_dir, ignore_errors=True)
     canon = F.min("mention_id").over(Window.partitionBy("prediction"))
     return out.select(
         "mention_id",
@@ -1780,9 +1796,15 @@ def _g1_oracle_sql() -> str:
               SELECT * FROM turns WHERE regexp_matches(text, '\\p{{Lo}}')
             ),
             p AS (
+              -- DuckDB's range() table fn cannot take a subquery bound,
+              -- so the constant must DOMINATE the fixture: G1 turns are
+              -- structurally <= 74 chars (30+1+payload+1+20), and the
+              -- guard below makes any future violation fail loudly as a
+              -- row-count mismatch instead of silently truncating probes
               SELECT t.conv_id, t.turn_idx, t.text, CAST(r.range AS INT) AS pos
-              FROM lo_turns t, range(1, 256) r
+              FROM lo_turns t, range(1, 1024) r
               WHERE r.range <= length(t.text)
+                AND length(t.text) < 1024
             ),
             m AS (
               SELECT p.conv_id, p.turn_idx, p.text, p.pos, g.g_alias, g.g_len

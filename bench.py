@@ -287,7 +287,9 @@ def bench_family_scaling(spark: SparkSession, sf_dir: str) -> dict:
     return out
 
 
-def bench_pipeline(spark: SparkSession, sf_dir: str) -> tuple[float, int, int, float]:
+def bench_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> tuple[float, int, int, float, list]:
     import __spark_entry__ as entry_mod
     from t_res_spark.plans.pipeline import PipelineConfig, resolve
 

@@ -219,15 +219,12 @@ def repair_and_aggregate(bio_tokens: DataFrame) -> DataFrame:
     cols = ["conv_id", "turn_idx", "entity", "word", "start", "end", "score"]
     if "text" in bio_tokens.columns:
         cols.append("text")
-    # explicit-N repartition: exempt from AQE's bytes-based partition
-    # coalescing, which would otherwise collapse a small token shuffle
-    # to ~1 partition and serialize every per-conversation Arrow group
-    # call onto one core (measured on context_disambiguate: 9.6 s
-    # coalesced vs 2.5 s pinned — byte counts are blind to Python cost)
-    sel = bio_tokens.select(*cols)
-    n_part = int(sel.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # explicit-N AQE-coalesce-exempt pin for the Arrow group stage —
+    # rationale + measurements in functions.shuffle.pinned_repartition
+    from ..functions.shuffle import pinned_repartition
+
     return (
-        sel.repartition(n_part, "conv_id")
+        pinned_repartition(bio_tokens.select(*cols), "conv_id")
         .groupBy("conv_id")
         .applyInPandas(_per_conv, schema=REPAIRED_SCHEMA)
     )

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..datagen import EMB_DIM, hashed_ngram_embedding
+from ..functions.shuffle import pinned_repartition
 
 N_LOOPS = 10  # mulrel_ranker.py:403 (n_loops)
 DAMPING = 0.5  # mulrel_ranker.py:421 (df)
@@ -317,19 +318,10 @@ def context_disambiguate(
         return _conv_coherence(pdf, n_loops=n_loops, round_dp=round_dp)
 
     # Pin the group distribution with an EXPLICIT-N repartition: AQE's
-    # bytes-based partition coalescing sees a few MB of shuffle input
-    # and collapses the stage to ~1 partition, serializing every
-    # per-conversation Arrow group-call onto one core (measured at
-    # 15k mentions / 1.5k convs: 9.6 s coalesced vs 2.5 s pinned —
-    # byte counts say nothing about Python-side cost). A
-    # REPARTITION_BY_NUM exchange is exempt from AQE coalescing and
-    # already satisfies the groupBy's required distribution, so no
-    # second exchange is added; at target scale the conf-driven N is
-    # the tuned shuffle width anyway.
-    spark = rows.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # explicit-N AQE-coalesce-exempt pin for the Arrow group stage —
+    # rationale + measurements in functions.shuffle.pinned_repartition
     return (
-        rows.repartition(n_part, "conv_id")
+        pinned_repartition(rows, "conv_id")
         .groupBy("conv_id")
         .applyInPandas(_fn, schema=CONTEXT_OUT_SCHEMA)
     )

@@ -44,31 +44,47 @@ def _shingles(text, n: int = 5):
     )
 
 
+# logical operators whose presence means the frame's partitioning was
+# already chosen by a shuffle upstream — rebalancing after one is
+# redundant (an extra full Exchange of the corpus)
+_WIDE_NODES = (
+    "Join", "Aggregate", "Window", "Distinct", "Deduplicate",
+    "Repartition", "Sort", "FlatMapGroupsInPandas",
+)
+
+
 def _rebalance(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     """Tiny-input guard for the CPU-heavy per-document stages.
 
     Shingling/hashing inherit the SCAN's partitioning; a small corpus
     in one parquet row group serializes the whole signature stage onto
     one core (measured: 3.8 s single-task out of d2's 9.6 s steady
-    state at sf0.1). The gate signal is the scan's FILE count
-    (``DataFrame.inputFiles`` — analyzed-plan metadata only; no
-    plan-to-RDD conversion, works under Spark Connect), and the guard
-    only fires when the input is far below the session's parallelism:
-    fewer source files than executor cores. At target scale inputs
-    arrive in thousands of splits and this short-circuits without
-    touching the plan; frames with no file scan behind them (in-memory
-    fixtures, already-shuffled intermediates) report zero files and
-    are left untouched — their partitioning was chosen upstream."""
-    spark = docs.sparkSession
-    cores = spark.sparkContext.defaultParallelism
+    state at sf0.1). The guard fires only when BOTH hold: the scan's
+    file count (``DataFrame.inputFiles`` — analyzed-plan metadata,
+    no plan-to-RDD conversion) is below the session's parallelism,
+    AND the frame is a narrow chain over that scan — ``inputFiles``
+    reports leaf files through any number of shuffles, so a
+    derived frame (join/agg/window upstream) whose width was already
+    chosen by an exchange must not be re-shuffled just because its
+    leaf scan is small. At target scale inputs arrive in thousands of
+    splits and the file-count check short-circuits without touching
+    the plan. Any introspection failure (Spark Connect has neither
+    SparkContext nor _jdf) degrades to a no-op: this is a local-mode
+    performance aid, never a correctness requirement."""
     try:
+        spark = docs.sparkSession
+        cores = spark.sparkContext.defaultParallelism
         n_files = len(docs.inputFiles())
-    except Exception:  # exotic plans (pure local relations) — leave as-is
+        if not (0 < n_files < cores):
+            return docs
+        plan = docs._jdf.queryExecution().analyzed().toString()
+    except Exception:  # Connect / exotic plans — leave as-is
         return docs
-    if 0 < n_files < cores:
-        target = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        return docs.repartition(target, key)
-    return docs
+    if any(node in plan for node in _WIDE_NODES):
+        return docs
+    from ..functions.shuffle import shuffle_width
+
+    return docs.repartition(shuffle_width(docs), key)
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -396,9 +396,19 @@ def _resolve_stages(
     # Exchange/Sort on either side.
     bucket_prefix = cfg.extra.get("bucketed_stage_prefix")
     if bucket_prefix:
+        cached_mentions = mentions
         mentions, predictions = persist_bucketed_stages(
             spark, mentions, predictions, bucket_prefix
         )
+        # the bucketed write just consumed the persisted mentions
+        # stage and everything downstream (label join, result fields)
+        # reads the bucket-backed tables — release the cache NOW;
+        # deferring to PipelineResult.unpersist() would leak it, since
+        # that handle now points at the bucket read
+        try:
+            cached_mentions.unpersist()
+        except Exception:
+            pass
 
     # linked is NOT persisted: it re-derives from the cached mentions
     # with one cheap broadcast join per consuming branch, while caching

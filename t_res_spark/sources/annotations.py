@@ -312,13 +312,14 @@ def parse_hipe(lines: DataFrame) -> DataFrame:
             columns=[f.name for f in HIPE_OUT_SCHEMA.fields],
         )
 
-    # explicit-N repartition: exempt from AQE partition coalescing —
-    # see bio.repair_and_aggregate / context.context_disambiguate for
-    # the measured pathology (group-call serialization onto one core)
-    sel = toklines.select("article_id", "line_no", "line")
-    n_part = int(sel.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # explicit-N AQE-coalesce-exempt pin for the Arrow group stage —
+    # rationale + measurements in functions.shuffle.pinned_repartition
+    from ..functions.shuffle import pinned_repartition
+
     return (
-        sel.repartition(n_part, "article_id")
+        pinned_repartition(
+            toklines.select("article_id", "line_no", "line"), "article_id"
+        )
         .groupBy("article_id")
         .applyInPandas(_per_doc, schema=HIPE_OUT_SCHEMA)
     )

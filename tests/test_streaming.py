@@ -45,7 +45,7 @@ def test_incremental_two_batches(spark, alias_kb, tmp_path):
     stream = stream_transcripts(spark, in_dir)
     resolver = IncrementalResolver(spark, alias_kb, state)
     q = resolver.start(stream)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream did not drain in 120s'
 
     # batch 2: same entity via OCR variant + a new entity
     _write_batch(
@@ -53,7 +53,7 @@ def test_incremental_two_batches(spark, alias_kb, tmp_path):
         [("c2", 0, "user", "report from Tarvvik and Belford", None, t)],
     )
     q2 = resolver.start(stream_transcripts(spark, in_dir))
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), 'stream did not drain in 120s'
 
     out = spark.read.parquet(os.path.join(state, "clusters"))
     rows = {r["mention_id"]: r for r in out.collect()}
@@ -81,7 +81,7 @@ def test_windowed_counts_runs(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream did not drain in 120s'
     # append mode emits only closed windows; the aggregation ran end-to-end
     assert spark.table("win_counts").columns == ["window", "role", "turns"]
 
@@ -134,7 +134,7 @@ def test_streaming_equals_batch_partition(spark, alias_kb, tmp_path):
     for lo, hi in ((0, 8), (8, 16), (16, 24)):
         _write_batch(spark, in_dir, corpus[lo:hi])
         q = resolver.start(stream_transcripts(spark, in_dir))
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), 'stream did not drain in 120s'
 
     out = spark.read.parquet(os.path.join(state, "clusters"))
     stream_pairs = [
