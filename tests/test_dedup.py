@@ -140,3 +140,33 @@ def test_simhash_bucket_cap_skips_huge_buckets(spark):
     fps = spark.createDataFrame(rows, "doc_id long, simhash long")
     assert dedup.simhash_near_pairs(fps, bucket_cap=10).count() == 0
     assert dedup.simhash_near_pairs(fps, bucket_cap=50).count() == 40 * 39 // 2
+
+
+def test_rebalance_narrow_scan_only(spark, tmp_path):
+    """The tiny-file guard fires only on a narrow chain over a small
+    scan: a derived frame (join/agg upstream) whose width an exchange
+    already chose must NOT be re-shuffled just because its leaf scan
+    is small — ``inputFiles`` reports leaf files through any number
+    of shuffles (the r5 review finding)."""
+    p = str(tmp_path / "tiny")
+    spark.range(100).selectExpr(
+        "id AS doc_id", "CAST(id AS STRING) AS text"
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    scan = spark.read.parquet(p)
+
+    def n_shuffles(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return plan.count("RepartitionByExpression")
+
+    # bare scan (1 file < cores): guard fires
+    assert n_shuffles(dedup._rebalance(scan)) == 1
+    # aggregated frame over the same scan: width already chosen by the
+    # agg's exchange — guard must leave the plan alone
+    agg = scan.groupBy("doc_id").count()
+    assert n_shuffles(dedup._rebalance(agg, "doc_id")) == 0
+    # joined frame: same rule
+    joined = scan.join(scan.select("doc_id"), "doc_id")
+    assert n_shuffles(dedup._rebalance(joined, "doc_id")) == 0
+    # in-memory local relation (zero files): untouched
+    local = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    assert n_shuffles(dedup._rebalance(local)) == 0
