@@ -674,7 +674,8 @@ def q_m1_parse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 — exact dedup by digest groups (md5 here: the one digest both
-    engines share; the engine's xxhash64 path is covered rows-only)."""
+    engines share; the engine's xxhash64 path is oracle-covered via
+    the from-spec python XXH64 goldens — d3/d3b/t5)."""
     _register(spark, sf_dir)
     return spark.sql(
         """
@@ -789,8 +790,10 @@ def q_s6_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# rows-only queries (non-SQL-expressible: iterative CC, hash-seeded LSH,
-# Arrow-UDF extraction) — driver records the weaker rows-only check
+# formerly rows-only queries — every entry below carries a full oracle
+# since round 5 (constructed corpora / unrolled recomputations); the
+# section kept its own header because these are the engine's hardest
+# oracle constructions (iterative CC, hash-seeded LSH, Arrow-UDF loops)
 # ---------------------------------------------------------------------------
 
 
@@ -1468,8 +1471,9 @@ def q_ctx10_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORACLE-GATED via constructed fixpoint (VERDICT r03 #5): see the
     CTX10 fixture notes above. ``round_dp=3`` — the loop rounds in
     python, the oracle embeds the same closed-form values. The
-    corpus-scale run stays covered by ctx_disambiguate (rows-only)
-    and the n_loops=0 slice by ctx0_prior_argmax (oracle)."""
+    corpus-scale run is itself oracle-gated since round 5
+    (ctx_disambiguate, single-candidate degeneracy) and the n_loops=0
+    slice by ctx0_prior_argmax (oracle)."""
     from t_res_spark.operators.context import context_disambiguate
 
     _register(spark, sf_dir)
@@ -1497,19 +1501,29 @@ def q_ctx10_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ctx_disambiguate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ML4/ML5 analog — per-conversation applyInPandas coherence loop
     (document = group = minibatch, entity_disambiguation.py:222,507;
-    LBP constants mulrel_ranker.py:403-421) → rows-only."""
+    LBP constants mulrel_ranker.py:403-421) over the DEFAULT config:
+    prerank=True, n_loops=10, the exact-match candidate KB.
+
+    ORACLE-GATED since round 5: on this corpus every matched surface
+    carries exactly ONE candidate (CANDIDATES_SQL is an exact alias
+    join), so normalized prior = 1.0, prerank keeps everything
+    (rank_prior = 1 ≤ keep_p_e_m) and the recursion has no argmax
+    dynamics — the ten-times-unrolled DuckDB recomputation
+    (_ctx_loops_oracle_sql over CANDIDATES_SQL) reproduces it
+    value-exact. The prerank stage still RUNS engine-side (its
+    filters must keep every row — dropping one is a hash mismatch);
+    its selective behavior is oracle-covered by ctx10_fixpoint and
+    unit windows. Rounding query-side with HALF_UP F.round, same
+    rationale as q_ctx1_one_loop; the kernel's round_dp=3 API default
+    stays unit-tested (test_ctx_convergence)."""
     from t_res_spark.operators.context import context_disambiguate
 
     _register(spark, sf_dir)
-    mentions = spark.sql(
-        f"""
-        SELECT 'conv' || CAST(CAST(floor(mention_id / 8) AS BIGINT) AS STRING) AS conv_id,
-               CAST(mention_id AS STRING) AS mention_id,
-               mention
-        FROM ({MENTIONS_SQL})
-        """
+    mentions = spark.sql(CTX_MENTIONS_SQL)
+    out = context_disambiguate(
+        mentions, _candidates_df(spark), round_dp=None
     )
-    return context_disambiguate(mentions, _candidates_df(spark))
+    return out.withColumn("link_score", F.round("link_score", 3))
 
 
 # ambiguous candidate table for the ctx family: every mention surface
@@ -1543,7 +1557,8 @@ def q_ctx0_prior_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop count differs — so the gate checks the operator's group
     plumbing, prior normalization, argmax tie-break (first in qid-sorted
     order) and anchor handling value-exact; the full 10-loop coherence
-    path stays rows-only (ctx_disambiguate). round_dp=None keeps raw
+    path is oracle-gated by ctx10_corpus/ctx_disambiguate (round 5).
+    round_dp=None keeps raw
     IEEE doubles (both engines divide in the same order); candidate
     masses are 128/64 multiples so no rank ties exist."""
     from t_res_spark.operators.context import context_disambiguate
@@ -1567,9 +1582,11 @@ def q_ctx1_one_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     VALUES. Cross-engine float safety is audited by
     tests/test_ctx1_margins.py: engine-vs-closed-form deltas sit
     orders of magnitude below every rounding boundary and argmax
-    margin. This brackets the 10-loop corpus run (rows-only) from
+    margin. This brackets the 10-loop corpus run from
     both ends: ctx0 (t=0), ctx1 (one real coherence step on the same
-    corpus), ctx10_fixpoint (t=10 on a constructed fixpoint).
+    corpus), ctx10_corpus (t=10, fully unrolled oracle),
+    ctx10_fixpoint (t=10 on a constructed fixpoint); since round 5
+    the corpus-scale ctx_disambiguate itself is oracle-exact too.
     Reference math: mulrel_ranker.py:403-421.
 
     Rounding is applied QUERY-SIDE with Spark's HALF_UP ``F.round``
@@ -1602,7 +1619,7 @@ def q_ctx10_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     subsumes the ctx1 one-loop slice and closes the bracket around the
     corpus-scale ``ctx_disambiguate`` run: the same kernel code path
     at the same depth on the same corpus shape is now oracle-exact;
-    the rows-only residual is solely the larger candidate table +
+    the remaining residual was solely the larger candidate table +
     prerank (both oracle-covered elsewhere: ctx0/a5 and ctx10_fixpoint).
     Rounding query-side with HALF_UP F.round, same rationale as
     q_ctx1_one_loop. Cross-engine float safety: ten loops of damping
@@ -1621,7 +1638,12 @@ def q_ctx10_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("link_score", F.round("link_score", 3))
 
 
-def _ctx_loops_oracle_sql(n_loops: int, round_out: bool = True) -> str:
+def _ctx_loops_oracle_sql(
+    n_loops: int,
+    round_out: bool = True,
+    mentions_sql: str | None = None,
+    cands_sql: str | None = None,
+) -> str:
     """Full DuckDB recomputation of the n-loop damped coherence
     recursion over the gate corpus — the loop body (quantized-argmax
     best embedding → leave-one-out conversation mean → cosine →
@@ -1643,6 +1665,8 @@ def _ctx_loops_oracle_sql(n_loops: int, round_out: bool = True) -> str:
     inlining would double the tree per level."""
     from t_res_spark.datagen import EMB_DIM, hashed_ngram_embedding
 
+    mentions_sql = mentions_sql or CTX_MENTIONS_SQL
+    cands_sql = cands_sql or CTX_CANDS_SQL
     emb_rows = _fmt_plane_rows(
         (f"'Q{i}'", hashed_ngram_embedding(f"Q{i}", EMB_DIM).astype("float64"))
         for i in range(25)
@@ -1652,13 +1676,13 @@ def _ctx_loops_oracle_sql(n_loops: int, round_out: bool = True) -> str:
               {emb_rows}
             ), cand AS (
               SELECT mention, qid, max(abs_relv) AS abs_relv
-              FROM ({CTX_CANDS_SQL}) GROUP BY mention, qid
+              FROM ({cands_sql}) GROUP BY mention, qid
             ), pri AS (
               SELECT mention, qid,
                      abs_relv / sum(abs_relv) OVER (PARTITION BY mention)
                        AS prior
               FROM cand
-            ), men AS ({CTX_MENTIONS_SQL}),
+            ), men AS ({mentions_sql}),
             st0 AS MATERIALIZED (
               -- loop state t=0: score == normalized prior
               SELECT m.conv_id, m.mention_id, m.mention, p.qid, p.prior,
@@ -1943,7 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s9_mentions": q_s9_mentions,
         "er_clusters": q_er_clusters,
         "er_pipeline": q_er_pipeline,
-        "ctx0_prior_argmax": q_ctx0_prior_argmax,
+        "ctx_disambiguate": q_ctx_disambiguate,
         "ctx10_corpus": q_ctx10_corpus,
         "ctx10_fixpoint": q_ctx10_fixpoint,
         "g1_uncased_gazetteer": q_g1_uncased_gazetteer,
@@ -1962,14 +1986,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (CORRECTNESS_full_r5.json) is committed in-repo; the window
         # above holds every query whose ONLY oracle evidence is the
         # driver report, while these three are redundantly covered:
-        # ctx_disambiguate is rows-only by necessity (bracketed by the
-        # oracle-exact ctx0/ctx10_corpus/ctx10_fixpoint family),
-        # ctx1_one_loop is SUBSUMED by the in-window ctx10_corpus
-        # (same corpus, same unrolled-oracle generator, depth 1 vs 10),
-        # s9_tokens shares the S9 parser with the in-window
+        # ctx0_prior_argmax and ctx1_one_loop are SUBSUMED by in-window
+        # queries (ctx0 is exactly the st0 state of ctx10_corpus's
+        # unrolled oracle; ctx1 is the same generator at depth 1 vs
+        # 10 — and the flagship default-config corpus run,
+        # ctx_disambiguate, is itself oracle-exact and in-window since
+        # round 5), s9_tokens shares the S9 parser with the in-window
         # s9_mentions, f5b shares the F5 operator with the in-window
         # f5_bydistance.
-        "ctx_disambiguate": q_ctx_disambiguate,
+        "ctx0_prior_argmax": q_ctx0_prior_argmax,
         "ctx1_one_loop": q_ctx1_one_loop,
         "s9_tokens": q_s9_tokens,
         "f5b_bydistance_op": q_f5b_bydistance_op,
@@ -2120,6 +2145,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ann_ivf_oracle_sql(),
         "ctx1_one_loop": _ctx1_oracle_sql(),
         "ctx10_corpus": _ctx_loops_oracle_sql(10),
+        # the default-config corpus run: single-candidate KB → no
+        # argmax dynamics, so the same unrolled generator recomputes
+        # the full prerank+10-loop query value-exact (q_ctx_disambiguate
+        # docstring has the degeneracy argument)
+        "ctx_disambiguate": _ctx_loops_oracle_sql(
+            10, cands_sql=CANDIDATES_SQL
+        ),
         "g1_uncased_gazetteer": _g1_oracle_sql(),
         "s2_alias_filter": """
             SELECT alias, qid FROM (

@@ -59,10 +59,9 @@ def _repin_self() -> None:
 
 # Queries excluded from the timed loop, WITH the reason logged to
 # stderr (no silent caps): timing a constructed micro-fixture measures
-# constants, not a plan; ctx_disambiguate is the corpus-scale
-# Python-kernel loop whose cost is dominated by n_loops x numpy inside
-# one Arrow batch per conversation — its plan shape is benched via the
-# ctx0/ctx1 corpus queries and its correctness via the oracle family.
+# constants, not a plan. ctx_disambiguate (the corpus-scale 10-loop
+# kernel) is benched since r5 — it is the flagship coherence run and
+# oracle-gated.
 BENCH_EXCLUDE = {
     "ctx10_fixpoint": "5-row constructed fixpoint fixture",
     "j4b_jarowinkler": "golden-VALUES fixture",
@@ -70,7 +69,6 @@ BENCH_EXCLUDE = {
     "f5b_bydistance_op": "golden-VALUES fixture",
     "ml2_bio_repair": "constructed tag-pattern fixture",
     "s8_webanno": "literal WebAnno document fixture",
-    "ctx_disambiguate": "corpus 10-loop kernel; plan benched via ctx0/ctx1",
     "t5_fingerprint": "golden-VALUES fixture (9 rows)",
     "er_stream_replay": "streaming replay of the er_pipeline corpus/plan; "
     "batch throughput is the e2e headline, micro-batch trigger overhead "

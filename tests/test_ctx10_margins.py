@@ -208,3 +208,57 @@ def test_rounding_boundary_margins(audit):
     assert min_bdist > max(100.0 * max_delta * 1000.0, 1e-5), (
         min_bdist, max_delta
     )
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+    ids=["sf0.01", "sf0.1"],
+)
+def test_disamb_corpus_degeneracy_and_rounding(sf_dir):
+    """Pins the premises that make the flagship ctx_disambiguate gate
+    query oracle-expressible (q_ctx_disambiguate docstring): the
+    exact-match candidate KB yields exactly ONE candidate per matched
+    surface (→ prior 1.0, prerank keeps all, no argmax dynamics), and
+    every depth-10 winner either sits far from a .0005 rounding
+    boundary (relative to ~1e-13 cross-engine drift) or is an exact
+    binary rational produced by exact arithmetic (singleton convs:
+    geometric decay from 1.0), which both engines hold bit-identically.
+    A regenerated fixture that breaks either premise fails here loudly
+    instead of flipping the gate."""
+    if not os.path.isdir(sf_dir):
+        pytest.skip("gate-scale testdata not present")
+    import __spark_entry__ as entry_mod
+
+    con = duckdb.connect()
+    for t in entry_mod.TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    # premise 1: single candidate per matched surface
+    multi = con.sql(
+        f"""SELECT mention FROM (
+              SELECT DISTINCT mention, qid FROM ({entry_mod.CANDIDATES_SQL}))
+            GROUP BY mention HAVING count(*) > 1"""
+    ).df()
+    assert multi.empty, multi
+
+    raw = con.sql(
+        entry_mod._ctx_loops_oracle_sql(
+            10, round_out=False, cands_sql=entry_mod.CANDIDATES_SQL
+        )
+    ).df()
+    assert len(raw) and raw.groupby("mention_id").size().max() == 1
+
+    def _is_exact_rational(x: float, denom_bits: int = 24) -> bool:
+        return x * (1 << denom_bits) == int(x * (1 << denom_bits))
+
+    close = []
+    for s in raw["s"].astype(float):
+        bdist = abs((s * 1000.0) % 1.0 - 0.5)
+        if bdist == 0.0:
+            assert _is_exact_rational(s), s
+        else:
+            close.append(bdist)
+    assert close and min(close) > 1e-5, min(close, default=None)
