@@ -1662,7 +1662,13 @@ def _ctx_loops_oracle_sql(
     at exactly 0.5 at sf0.1) and must break by candidate order on
     both engines, never by ulp noise. Each state CTE is MATERIALIZED
     — st{{t}} is referenced twice per loop (argmax + update) and
-    inlining would double the tree per level."""
+    inlining would double the tree per level.
+
+    SOUNDNESS PREMISE: the SQL does not model the kernel's ATT_TOP_N
+    local-attention cap (W5), which is valid only while every gate
+    conversation carries <= ATT_TOP_N other mentions — pinned at all
+    three scales for both oracle corpora by
+    tests/test_ctx10_margins.py::test_attention_cap_never_binds_on_gate_corpora."""
     from t_res_spark.datagen import EMB_DIM, hashed_ngram_embedding
 
     mentions_sql = mentions_sql or CTX_MENTIONS_SQL

@@ -262,3 +262,44 @@ def test_disamb_corpus_degeneracy_and_rounding(sf_dir):
         else:
             close.append(bdist)
     assert close and min(close) > 1e-5, min(close, default=None)
+
+
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+    ids=["sf0.001", "sf0.01", "sf0.1"],
+)
+def test_attention_cap_never_binds_on_gate_corpora(sf_dir):
+    """The unrolled oracle does NOT model the kernel's ATT_TOP_N
+    local-attention cap (W5) — it is sound only because every gate
+    conversation carries at most ATT_TOP_N other mentions, so the cap
+    never binds. Pin that premise for BOTH oracle corpora (the
+    two-candidate ctx10_corpus/ctx1 corpus and the single-candidate
+    ctx_disambiguate corpus — same mention table) at every scale the
+    gate replicates, so corpus growth that silently activates the
+    attention path fails here instead of as a hash mismatch."""
+    if not os.path.isdir(sf_dir):
+        pytest.skip("gate-scale testdata not present")
+    import __spark_entry__ as entry_mod
+    from t_res_spark.operators.context import ATT_TOP_N
+
+    con = duckdb.connect()
+    for t in entry_mod.TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    for cands_sql in (entry_mod.CTX_CANDS_SQL, entry_mod.CANDIDATES_SQL):
+        mx = con.sql(
+            f"""
+            SELECT max(n) FROM (
+              SELECT conv_id, count(DISTINCT mention_id) AS n
+              FROM ({entry_mod.CTX_MENTIONS_SQL}) m
+              JOIN (SELECT DISTINCT mention FROM ({cands_sql})) c
+                USING (mention)
+              GROUP BY conv_id)
+            """
+        ).fetchone()[0]
+        # "others" per mention = conv size - 1 must be <= ATT_TOP_N
+        assert mx is not None and mx - 1 <= ATT_TOP_N, (sf_dir, mx)
