@@ -245,9 +245,16 @@ def prerank_truncate(
             ),
         ).alias("ctx_emb")
     )
-    scored = rows.join(ctx, "conv_id").withColumn(
-        "ctx_score", cosine(F.col("emb"), F.col("ctx_emb"))
-    )
+    # explicit-N AQE-coalesce-exempt pin in front of the rank windows:
+    # the joined frame is a few MB, so AQE collapses the window
+    # exchange to ~1 partition and serializes the sort + downstream
+    # Arrow work onto one core (measured on the sf0.1 disamb corpus:
+    # 16.4 s → 3.1 s for the full query, byte-identical output). The
+    # hash distribution on (conv_id, mention_id) satisfies both
+    # windows' partitioning, so no second exchange is added.
+    scored = pinned_repartition(
+        rows.join(ctx, "conv_id"), "conv_id", "mention_id"
+    ).withColumn("ctx_score", cosine(F.col("emb"), F.col("ctx_emb")))
     by_prior = Window.partitionBy("conv_id", "mention_id").orderBy(
         F.desc("prior"), F.asc("qid")
     )
