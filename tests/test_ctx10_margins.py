@@ -29,6 +29,21 @@ import pytest
 DEPTHS = (1, 5, 10)
 
 
+def _duck_con(sf_dir):
+    """DuckDB connection with the gate tables registered as views —
+    the same registration tools/validate_gate.py performs."""
+    import __spark_entry__ as entry_mod
+
+    con = duckdb.connect()
+    for t in entry_mod.TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    return con
+
+
 # both the driver's gate scale and the 10× replication scale — the
 # sf0.1 sweep is what surfaced the exact-rational-tie class in r5
 @pytest.fixture(
@@ -43,13 +58,7 @@ def audit(request):
     import __spark_entry__ as entry_mod
     from t_res_spark.operators.context import _conv_coherence
 
-    con = duckdb.connect()
-    for t in entry_mod.TABLES:
-        p = os.path.join(SF_DIR, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
-            )
+    con = _duck_con(SF_DIR)
 
     # the corpus exactly as the operator's JVM-side prep builds it:
     # dedup'd candidates, normalized priors, qid embeddings
@@ -211,8 +220,9 @@ def test_rounding_boundary_margins(audit):
 
 
 @pytest.mark.parametrize(
-    "sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"],
-    ids=["sf0.01", "sf0.1"],
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+    ids=["sf0.001", "sf0.01", "sf0.1"],
 )
 def test_disamb_corpus_degeneracy_and_rounding(sf_dir):
     """Pins the premises that make the flagship ctx_disambiguate gate
@@ -229,13 +239,7 @@ def test_disamb_corpus_degeneracy_and_rounding(sf_dir):
         pytest.skip("gate-scale testdata not present")
     import __spark_entry__ as entry_mod
 
-    con = duckdb.connect()
-    for t in entry_mod.TABLES:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
-            )
+    con = _duck_con(sf_dir)
     # premise 1: single candidate per matched surface
     multi = con.sql(
         f"""SELECT mention FROM (
@@ -261,7 +265,9 @@ def test_disamb_corpus_degeneracy_and_rounding(sf_dir):
             assert _is_exact_rational(s), s
         else:
             close.append(bdist)
-    assert close and min(close) > 1e-5, min(close, default=None)
+    # an all-on-boundary corpus would be premise-consistent (every
+    # score exact-rational) — only a CLOSE off-boundary score is bad
+    assert not close or min(close) > 1e-5, min(close)
 
 
 @pytest.mark.parametrize(
@@ -283,13 +289,7 @@ def test_attention_cap_never_binds_on_gate_corpora(sf_dir):
     import __spark_entry__ as entry_mod
     from t_res_spark.operators.context import ATT_TOP_N
 
-    con = duckdb.connect()
-    for t in entry_mod.TABLES:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
-            )
+    con = _duck_con(sf_dir)
     for cands_sql in (entry_mod.CTX_CANDS_SQL, entry_mod.CANDIDATES_SQL):
         mx = con.sql(
             f"""
