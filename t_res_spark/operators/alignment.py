@@ -46,14 +46,47 @@ def align_spans(pred: DataFrame, gold: DataFrame) -> DataFrame:
     joined = p.join(g, cond, "left").drop(F.col("g.conv_id")).drop(
         F.col("g.turn_idx")
     )
-    w = Window.partitionBy("conv_id", "turn_idx", "start_char").orderBy(
-        F.desc(overlap), F.asc("gold_start"), F.asc("gold_qid")
+    # Best-overlap selection as a map-side-combinable min_by aggregation
+    # (r6; guide §2.3 "aggregate before you shuffle"): the former
+    # row_number window shuffled EVERY joined (pred × overlapping-gold)
+    # row and paid two sorts; the partial aggregate reduces each
+    # (conv_id, turn_idx, start_char) group to one row before the
+    # exchange and needs no sort at all. The min_by ordering struct
+    # reproduces the window's (overlap DESC NULLS LAST, gold_start ASC
+    # NULLS FIRST, gold_qid ASC NULLS FIRST) order exactly: field 1
+    # negates overlap (desc) and maps the unaligned row's NULL to
+    # int-max so any matched row beats it (desc_nulls_last); fields
+    # 2/3 map NULL to the smallest value (asc nulls-first) — those
+    # coalesces only ever decide groups that were order-degenerate
+    # (all-NULL ties) under the window too.
+    ord_key = F.struct(
+        F.coalesce(-overlap, F.lit(2147483647)).alias("k1"),
+        F.coalesce(F.col("gold_start"), F.lit(-2147483648)).alias("k2"),
+        F.coalesce(F.col("gold_qid"), F.lit("")).alias("k3"),
     )
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-        .withColumn("overlap_chars", F.greatest(overlap, F.lit(0)))
+    payload = F.struct(
+        F.col("mention"),
+        F.col("end_char"),
+        F.col("gold_mention"),
+        F.col("gold_start"),
+        F.col("gold_end"),
+        F.col("gold_qid"),
+        F.greatest(overlap, F.lit(0)).alias("ov"),
+    )
+    best = joined.groupBy("conv_id", "turn_idx", "start_char").agg(
+        F.min_by(payload, ord_key).alias("b")
+    )
+    return best.select(
+        "conv_id",
+        "turn_idx",
+        F.col("b.mention").alias("mention"),
+        "start_char",
+        F.col("b.end_char").alias("end_char"),
+        F.col("b.gold_mention").alias("gold_mention"),
+        F.col("b.gold_start").alias("gold_start"),
+        F.col("b.gold_end").alias("gold_end"),
+        F.col("b.gold_qid").alias("gold_qid"),
+        F.col("b.ov").alias("overlap_chars"),
     )
 
 
@@ -161,23 +194,34 @@ def align_gold_tokens(tokens: DataFrame, gold: DataFrame) -> DataFrame:
         ],
         "left",
     ).select(tokens["*"], "gold_start", "gold_type", "gold_qid")
-    # partition on tok_end too: two distinct tokens can share a start
-    # offset (overlapping tokenizations) and each must get its own label
-    w = Window.partitionBy("conv_id", "turn_idx", "tok_start", "tok_end").orderBy(
-        F.asc("gold_start"), F.asc("gold_qid")
+    # Earliest-span selection as a map-side-combinable min_by aggregate
+    # (r6, same reshape + ordering-equivalence argument as align_spans:
+    # the former row_number window shuffled every token × covering-span
+    # row and paid two sorts; the partial aggregate sends one row per
+    # token through the exchange, sort-free). Grouping on tok_end too:
+    # two distinct tokens can share a start offset (overlapping
+    # tokenizations) and each must get its own label. NULL mapping in
+    # the ordering struct mirrors the window's asc-nulls-first; a group
+    # is either all-matched or the single unaligned row, so the
+    # coalesce never decides against a real span.
+    ord_key = F.struct(
+        F.coalesce(F.col("gold_start"), F.lit(-2147483648)).alias("k1"),
+        F.coalesce(F.col("gold_qid"), F.lit("")).alias("k2"),
     )
-    prefix = F.when(F.col("tok_start") == F.col("gold_start"), "B-").otherwise("I-")
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "conv_id", "turn_idx", "tok_start", "tok_end",
-            F.when(F.col("gold_start").isNull(), "O")
-            .otherwise(F.concat(prefix, F.col("gold_type")))
-            .alias("entity"),
-            F.when(F.col("gold_start").isNull(), "O")
-            .otherwise(F.concat(prefix, F.col("gold_qid")))
-            .alias("link"),
-            F.lit(1.0).alias("score"),
-        )
+    payload = F.struct("gold_start", "gold_type", "gold_qid")
+    best = joined.groupBy("conv_id", "turn_idx", "tok_start", "tok_end").agg(
+        F.min_by(payload, ord_key).alias("b")
+    )
+    prefix = F.when(
+        F.col("tok_start") == F.col("b.gold_start"), "B-"
+    ).otherwise("I-")
+    return best.select(
+        "conv_id", "turn_idx", "tok_start", "tok_end",
+        F.when(F.col("b.gold_start").isNull(), "O")
+        .otherwise(F.concat(prefix, F.col("b.gold_type")))
+        .alias("entity"),
+        F.when(F.col("b.gold_start").isNull(), "O")
+        .otherwise(F.concat(prefix, F.col("b.gold_qid")))
+        .alias("link"),
+        F.lit(1.0).alias("score"),
     )

@@ -132,20 +132,41 @@ def _conv_coherence(
             mid: np.array([p for _, p, _ in cands], dtype=np.float64)
             for mid, cands in cand.items()
         }
+        # r6 — hoist every loop-invariant quantity out of the n_loops
+        # iteration (pure caching: the SAME numpy expressions evaluate
+        # on the SAME inputs, just once instead of 10x, so every score
+        # double is bit-identical): per-candidate unit embeddings
+        # (normalization cost dominated the old inner loop), the prior
+        # vectors, and the pinned-anchor candidate index.
+        unit = {
+            mid: [e / max(np.linalg.norm(e), 1e-12) for _, _, e in cands]
+            for mid, cands in cand.items()
+        }
+        priors = {
+            mid: np.array([p for _, p, _ in cands])
+            for mid, cands in cand.items()
+        }
+        pinned_idx = {
+            mid: next(
+                (i for i, (q, _, _) in enumerate(cand[mid]) if q == pinned[mid]), 0
+            )
+            for mid in pinned
+            if mid in cand
+        }
         for _ in range(n_loops):
             # current best embedding per mention (pinned anchors fixed)
             best_emb = {}
+            best_unit = {}
             for mid, cands in cand.items():
                 if mid in pinned:
-                    idx = next(
-                        (i for i, (q, _, _) in enumerate(cands) if q == pinned[mid]), 0
-                    )
+                    idx = pinned_idx[mid]
                 else:
                     idx = int(np.argmax(_qkey(scores[mid])))
                 best_emb[mid] = cands[idx][2]
+                best_unit[mid] = unit[mid][idx]
             new_scores = {}
             for mid, cands in cand.items():
-                others = [best_emb[m] for m in mention_ids if m != mid]
+                others = [m for m in mention_ids if m != mid]
                 if len(others) > ATT_TOP_N:
                     # W5 — local-attention analog (mulrel_ranker.py:7-65
                     # top-n attention): only the ATT_TOP_N context
@@ -153,31 +174,25 @@ def _conv_coherence(
                     # best candidate contribute to its coherence, so the
                     # per-iteration cost is bounded on conversations
                     # with hundreds of mentions.
-                    own = best_emb[mid]
-                    own_n = own / max(np.linalg.norm(own), 1e-12)
+                    own_n = best_unit[mid]
                     sims = np.array(
-                        [
-                            float(np.dot(o / max(np.linalg.norm(o), 1e-12), own_n))
-                            for o in others
-                        ]
+                        [float(np.dot(best_unit[m], own_n)) for m in others]
                     )
                     keep = np.argsort(-sims, kind="stable")[:ATT_TOP_N]
-                    others = [others[i] for i in sorted(keep)]
-                if others:
-                    ctx = np.mean(others, axis=0)
+                    other_embs = [best_emb[others[i]] for i in sorted(keep)]
+                else:
+                    other_embs = [best_emb[m] for m in others]
+                if other_embs:
+                    ctx = np.mean(other_embs, axis=0)
                     n = np.linalg.norm(ctx)
                     ctx = ctx / n if n > 0 else ctx
                 else:
                     ctx = np.zeros(EMB_DIM)
                 coher = np.array(
-                    [
-                        float(np.dot(e / max(np.linalg.norm(e), 1e-12), ctx))
-                        for _, _, e in cands
-                    ]
+                    [float(np.dot(u, ctx)) for u in unit[mid]]
                 )
-                prior = np.array([p for _, p, _ in cands])
                 new_scores[mid] = (1 - DAMPING) * scores[mid] + DAMPING * (
-                    prior + coher
+                    priors[mid] + coher
                 ) / 2.0
             scores = new_scores
         for mid in mention_ids:

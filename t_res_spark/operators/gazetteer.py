@@ -141,10 +141,17 @@ def gazetteer_tag_uncased(
     )
 
     # maximal-match suppression: drop matches strictly contained in a
-    # longer match on the same turn (anti-join on the small match set)
+    # longer match on the same turn (anti-join on the small match set).
+    # Every `containers` column is RENAMED (c_conv/c_turn, not just the
+    # span columns) so the self-join condition never references the
+    # same attribute on both sides — the previous hits["conv_id"] ==
+    # containers["conv_id"] form leaned on Spark's dataset-id
+    # disambiguation and emitted "Constructing trivially true equals
+    # predicate" warnings; if that resolution ever degraded, the
+    # containment suppression would silently go cross-turn (ADVICE r5).
     containers = hits.select(
-        "conv_id",
-        "turn_idx",
+        F.col("conv_id").alias("c_conv"),
+        F.col("turn_idx").alias("c_turn"),
         F.col("start_char").alias("c_start"),
         F.col("end_char").alias("c_end"),
         F.col("m_len").alias("c_len"),
@@ -152,8 +159,8 @@ def gazetteer_tag_uncased(
     maximal = hits.join(
         containers,
         on=[
-            hits["conv_id"] == containers["conv_id"],
-            hits["turn_idx"] == containers["turn_idx"],
+            hits["conv_id"] == containers["c_conv"],
+            hits["turn_idx"] == containers["c_turn"],
             containers["c_start"] <= hits["start_char"],
             containers["c_end"] >= hits["end_char"],
             containers["c_len"] > hits["m_len"],
