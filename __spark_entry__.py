@@ -1890,9 +1890,19 @@ def q_d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("vec_id") - 1).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
     )
+    # bits=12 (r6): sizes the SRP bucket space to corpus density — at
+    # the default 8 bits a 20k+-vector corpus packs ~90 vectors per
+    # bucket and the candidate set degenerates toward all-pairs (4.9M
+    # pairs at sf1.0, 39 s of cosine verify); 12 bits keeps buckets ~6
+    # deep (~0.26M pairs). Planted near-dups are sign-preserving scaled
+    # copies, so they collide at any bit width, and exact-cosine verify
+    # decides every edge — output verified IDENTICAL to bits=8 at
+    # sf0.001/0.01/0.1 (oracle) and sf1.0 (engine A/B, 22,858 rows,
+    # 0 diffs).
     return embedding_near_duplicates(
         emb.unionByName(planted),
         threshold=0.95,
+        bits=12,
         dim=_embeddings_dim(spark, sf_dir),
     )
 

@@ -395,14 +395,21 @@ def near_duplicate_clusters(
 
     CC runs on the native (long) doc ids — cheaper shuffles and
     comparisons than strings; labels are cast back at the surface."""
-    # Fused plan: signatures are computed ONCE and consumed by exactly
-    # one operator (the banding shuffle carries the structs; the
-    # estimate filter runs inside the bucket rows), so there is no
-    # multi-reader DAG to checkpoint and no signature joins — r2's plan
-    # (checkpoint + pairs ⋈ sigs ⋈ sigs) paid two extra shuffles of
-    # every candidate pair plus an eager materialization job.
+    # Fused plan: signatures are computed once and consumed by the
+    # banding shuffle (structs) plus the ids-only bucket pre-count —
+    # TWO subplans sharing the signature subtree. Measured r6: AQE's
+    # exchange reuse does NOT kick in for the duplicated aggregation
+    # subtree at runtime (sig+pairs timed ≈ 2x sig alone), so the
+    # signature stage ran twice per query. A LAZY ``cache()`` (no extra
+    # materialization job — the pre-count pass populates it, the
+    # banding pass reads it; released right after the pair checkpoint)
+    # shares it: full-query A/B, interleaved min-of-5 —
+    # sf1.0 9.9 s → 7.5 s, sf0.1 4.5 s → 3.8 s. (An EAGER
+    # localCheckpoint of the signatures was also tried and LOST at
+    # sf0.1 — 3.1-4.0 s → 5.8-6.5 s — the materialization job
+    # serializes the pipeline; the lazy cache doesn't.)
     docs = _rebalance(docs)
-    sigs = minhash_signatures(docs, text_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(docs, text_col, num_hashes, shingle_n).cache()
     near = minhash_lsh_pairs(
         sigs, bands, num_hashes // bands, estimate_threshold=threshold
     )
@@ -411,6 +418,7 @@ def near_duplicate_clusters(
     # signature+banding job runs exactly once rather than trusting
     # exchange reuse across the three subplans
     near = near.localCheckpoint(eager=True)
+    sigs.unpersist()  # pair set is materialized; the sig cache is dead
     verified = jaccard_verify(docs, near, text_col, shingle_n, threshold)
     edges = verified.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     labels = connected_components(edges)
@@ -442,35 +450,59 @@ def embedding_near_duplicates(
     ``dim``: embedding dimensionality. Callers that know it (fixed
     encoder width, table contract) should pass it — when None a
     one-row probe job runs as a fallback (VERDICT r03 #9)."""
-    from .similarity_search import _hyperplanes, cosine, srp_bucket
+    from .similarity_search import _dot, _hyperplanes, _norm, srp_bucket
 
     if dim is None:
         dim_row = vectors.select(F.size(vec_col).alias("d")).first()
         dim = dim_row["d"] if dim_row else 0
     vectors = _rebalance(vectors, id_col)
     planes = [_hyperplanes(dim, bits, seed + t) for t in range(tables)]
-    bucketed = vectors.select(
+    # r6 reshape (guide §8: decide with small rows, move big rows once):
+    # the bucket self-join and the pair dedup used to CARRY both 64-dim
+    # vectors — every candidate pair shuffled ~1 KB of payload through
+    # the join and again through the distinct, O(bucket²) pairs deep.
+    # Buckets are decided by ids alone, the distinct runs on bare
+    # (id, id_b), and the two vectors are re-attached ONCE to the
+    # surviving pair set (the jaccard_verify pattern). (id → vec) is
+    # functional, so distinct-on-ids is the identical pair set and the
+    # cosine sees the identical vectors.
+    bucketed_ids = vectors.select(
         id_col,
-        vec_col,
         F.posexplode(
             F.array(*[srp_bucket(F.col(vec_col), p) for p in planes])
         ).alias("table_id", "bucket"),
     )
-    other = bucketed.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
-        "table_id",
-        "bucket",
+    other_ids = bucketed_ids.select(
+        F.col(id_col).alias("id_b"), "table_id", "bucket"
     )
-    cands = (
-        bucketed.join(other, ["table_id", "bucket"])
+    cand_ids = (
+        bucketed_ids.join(other_ids, ["table_id", "bucket"])
         .filter(F.col(id_col) < F.col("id_b"))
-        .select(id_col, vec_col, "id_b", "vec_b")
+        .select(id_col, "id_b")
         .distinct()
     )
-    verified = cands.withColumn(
-        "cos_sim", cosine(F.col(vec_col), F.col("vec_b"))
-    ).filter(F.col("cos_sim") >= threshold)
+    # norms computed ONCE PER VECTOR and carried to the pair (the
+    # cosine used to re-fold both norms per pair — 3 interpreted
+    # 64-element folds per candidate; now 1). Same fold on the same
+    # array → bit-identical norm doubles → bit-identical cosines.
+    va = vectors.select(
+        id_col, F.col(vec_col), _norm(F.col(vec_col)).alias("norm_a")
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        _norm(F.col(vec_col)).alias("norm_b"),
+    )
+    verified = (
+        cand_ids.join(va, id_col)
+        .join(vb, "id_b")
+        .withColumn(
+            "cos_sim",
+            _dot(F.col(vec_col), F.col("vec_b"))
+            / F.greatest(F.col("norm_a") * F.col("norm_b"), F.lit(1e-12)),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
     # CC on the native id type (longs shuffle/compare cheaper);
     # string cast only at the output surface.
     edges = verified.select(
@@ -495,7 +527,13 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFram
     (Catalyst does not CSE across higher-order functions — see
     minhash_signatures), then ALL 64 bit votes fold in a single
     ``aggregate`` pass whose accumulator is a 64-long counter array.
-    One traversal of the token array per row, not 64."""
+    One traversal of the token array per row, not 64. (r6 note: the
+    flat 64-fold alternative — one scalar fold per bit, the reshape
+    that won 8x in srp_bucket — was A/B'd here and LOST slightly
+    (0.99 s vs 0.89 s on the sf1.0 corpus): this inner lambda is plain
+    long arithmetic with no per-element literal-matrix indexing, so the
+    single traversal's allocation overhead is cheaper than 64
+    re-traversals. Kept as-is, measured.)"""
     words = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), "\\s+"))
     hashed = _rebalance(docs).select(
         "doc_id", F.transform(words, lambda s: F.xxhash64(s)).alias("hs")

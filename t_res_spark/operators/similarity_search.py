@@ -194,15 +194,45 @@ def ivf_train_centroids(
     fixed seed, numpy Lloyd iterations) — the classic IVF recipe:
     centroid fitting needs only a representative sample, never the
     corpus; the corpus-sized work (assignment) stays distributed.
-    Returns a (k, dim) list-of-lists, broadcast as a plan literal."""
-    rows = (
-        vectors.select(vec_col)
-        .orderBy(F.xxhash64(F.col(vec_col).cast("string")))
-        .limit(sample_size)
-        .collect()
-    )
-    if not rows:
+    Returns a (k, dim) list-of-lists, broadcast as a plan literal.
+
+    Sampling (r6, VERDICT r5 #8): the old
+    ``orderBy(xxhash64).limit(n)`` ran a TakeOrdered over the WHOLE
+    corpus — per-row heap maintenance and a per-partition top-n merge
+    at 10^9 vectors. Now a deterministic hash-threshold filter prunes
+    the corpus to ~4x the sample in one narrow codegen pass (hash +
+    compare per row, nothing retained), and only the survivors pay the
+    small ordered-take. Seeded and deterministic like before: the
+    filter and the tie-break ordering are both pure functions of the
+    vector bytes. When the corpus is at most the sample size (or the
+    filter improbably undershoots), it falls back to the full ordered
+    take — identical behavior to the old path on small inputs."""
+    import math
+
+    h = F.xxhash64(F.col(vec_col).cast("string"))
+
+    def _take_all():
+        return (
+            vectors.select(vec_col).orderBy(h).limit(sample_size).collect()
+        )
+
+    total = vectors.count()
+    if total == 0:
         raise ValueError("ivf_train_centroids: empty vectors DataFrame")
+    if total <= sample_size * 4:
+        rows = _take_all()
+    else:
+        space = 1 << 20
+        thr = max(1, math.ceil(space * 4 * sample_size / total))
+        rows = (
+            vectors.select(vec_col)
+            .filter(F.pmod(h, F.lit(space)) < F.lit(thr))
+            .orderBy(h)
+            .limit(sample_size)
+            .collect()
+        )
+        if len(rows) < sample_size:
+            rows = _take_all()
     x = np.asarray([r[0] for r in rows], dtype=np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)

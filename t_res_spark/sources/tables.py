@@ -131,15 +131,32 @@ def write_bucketed(
     if not spark.catalog.tableExists(table_name):
         # an in-memory catalog forgets managed tables across sessions
         # but their warehouse locations survive; saveAsTable refuses to
-        # create over an orphaned location, so clear it first
+        # create over an orphaned location, so clear it first. Scoped
+        # tightly (ADVICE r5): derive the location from the identifier
+        # parts (db-qualified names map to <db>.db/<tbl>, not to a
+        # top-level directory that could shadow an unrelated path), and
+        # only delete a directory that actually looks like orphaned
+        # saveAsTable output — a _SUCCESS marker or parquet part files
+        # at its root — never an arbitrary same-named directory.
         try:
-            warehouse = spark.conf.get("spark.sql.warehouse.dir")
+            warehouse = str(spark.conf.get("spark.sql.warehouse.dir")).rstrip("/")
+            parts = [p.strip("`").lower() for p in table_name.split(".")]
+            if len(parts) == 1:
+                rel = parts[0]
+            else:
+                rel = f"{parts[-2]}.db/{parts[-1]}"
             jvm = spark._jvm
-            hpath = jvm.org.apache.hadoop.fs.Path(
-                f"{warehouse.rstrip('/')}/{table_name.lower()}"
-            )
+            hpath = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{rel}")
             fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-            fs.delete(hpath, True)
+            if fs.exists(hpath):
+                looks_like_table = False
+                for st in fs.listStatus(hpath):
+                    name = st.getPath().getName()
+                    if name == "_SUCCESS" or name.endswith(".parquet"):
+                        looks_like_table = True
+                        break
+                if looks_like_table:
+                    fs.delete(hpath, True)
         except Exception:
             pass
     w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
