@@ -450,7 +450,7 @@ def embedding_near_duplicates(
     ``dim``: embedding dimensionality. Callers that know it (fixed
     encoder width, table contract) should pass it — when None a
     one-row probe job runs as a fallback (VERDICT r03 #9)."""
-    from .similarity_search import _dot, _hyperplanes, _norm, srp_bucket
+    from .similarity_search import _dot, _hyperplanes, _norm, srp_buckets_arrow
 
     if dim is None:
         dim_row = vectors.select(F.size(vec_col).alias("d")).first()
@@ -466,12 +466,10 @@ def embedding_near_duplicates(
     # surviving pair set (the jaccard_verify pattern). (id → vec) is
     # functional, so distinct-on-ids is the identical pair set and the
     # cosine sees the identical vectors.
-    bucketed_ids = vectors.select(
-        id_col,
-        F.posexplode(
-            F.array(*[srp_bucket(F.col(vec_col), p) for p in planes])
-        ).alias("table_id", "bucket"),
-    )
+    # buckets from one Arrow matmul pass per batch (srp_buckets_arrow —
+    # r6; sign-margin audit there covers this corpus incl. the planted
+    # 1.5x copies), ids-only rows
+    bucketed_ids = srp_buckets_arrow(vectors, id_col, vec_col, planes)
     other_ids = bucketed_ids.select(
         F.col(id_col).alias("id_b"), "table_id", "bucket"
     )
